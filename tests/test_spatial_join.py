@@ -110,4 +110,5 @@ def test_join_plan_is_codegen_and_broadcast(spark, tmp_path):
     scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
     assert "phash" in scan and "caption" not in scan and "bytes" not in scan
     # exactly one Python stage (the refine) in the whole pipeline
-    assert plan.count("MapInPandas") == 1
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("MapInPandas") == 1
