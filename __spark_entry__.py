@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial join on sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md section 2 with DuckDB oracles (rows-only for the ops whose
+hashing/engine internals SQL cannot express — see queries_engine.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rosreestr_xml_to_gis_converter_spark.queries_engine import (  # noqa: E402
+    ENGINE_ORACLES,
+    ENGINE_QUERIES,
+    flagship_spatial_join,
+)
+from rosreestr_xml_to_gis_converter_spark.queries_ref import (  # noqa: E402
+    REF_ORACLES,
+    REF_QUERIES,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: images (derived from lineitem, input_hint shape) x
+    H3-analog-indexed parcel layer -> exact containment rows."""
+    return flagship_spatial_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {**REF_QUERIES, **ENGINE_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {**REF_ORACLES, **ENGINE_ORACLES}

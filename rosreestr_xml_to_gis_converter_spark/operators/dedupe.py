@@ -1,0 +1,205 @@
+"""Large-scale deduplication operators over a document corpus.
+
+Everything stays JVM-side: shingling, hashing (``xxhash64``), minhash,
+banding, and verification are Column expressions / higher-order array
+functions — no Python UDFs, so these run at full codegen speed over
+10^12-row corpora.  The LSH self-joins are equi-joins on (band, hash)
+buckets, which Catalyst shuffles on the bucket key (the standard
+MinHash-LSH dedup shape used by web-scale corpus pipelines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(text), " ")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a text column (JVM higher-order fns)."""
+    words = _words(text)
+    n = F.size(words) - (k - 1)
+    mk = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(F.when(n >= 1, mk).otherwise(F.array().cast("array<string>")))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash (hash-groupBy)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    return inter.cast("double") / union.cast("double")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard (exact, quadratic) — the small-N oracle
+    baseline; MinHash-LSH below is the scale path with the same verify."""
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int) -> Column:
+    """n independent minhashes via seeded xxhash64 — array<long>."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(n_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation + exact Jaccard verify.
+
+    shingle -> minhash(n) -> band buckets (bands x rows) -> bucket
+    self-join -> verify.  Only bucket-colliding pairs are verified, so
+    cost is ~linear in corpus size for realistic duplicate rates.
+    """
+    rows = n_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text: Column, n_bits: int = 64) -> Column:
+    """SimHash over word tokens, pure Column arithmetic.
+
+    For each bit b: vote = sum over tokens of +-1 by the b-th bit of
+    xxhash64(token); bit set iff vote > 0.  Assembled into a long.
+    """
+    words = F.array_distinct(_words(text))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+
+    def bit_vote(b: int) -> Column:
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for b in range(n_bits):
+        out = out + bit_vote(b) * F.lit(1 << b).cast("long") if b < 63 else out
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
+    16-bit chunks (pigeonhole: hamming<=3 guarantees a chunk collides;
+    larger radii are still found with high probability), bucket-join,
+    verify exact hamming distance with bit_count."""
+    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunks = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sh", "cc.chunk", "cc.key")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,120 @@
+"""kNN-to-nearest-parcel (the no-match fallback of the spatial join).
+
+Images whose point lies in no parcel polygon are assigned their k nearest
+parcels (by centroid distance, planar).  Two strategies:
+
+* ``knn_bruteforce`` — broadcast cross-join + ranking window.  The right
+  plan when the parcel-centroid side is broadcastable (it usually is:
+  even 10^7 centroids is ~200 MB); cost is O(|images| * |parcels|) inside
+  codegen, no shuffle of the big side beyond the final window.
+* ``knn_grid`` — the scale path (SURVEY.md §2.2): encode both sides at a
+  coarse resolution, explode the small side over a bounded ``grid_disk``
+  (a literal (dx,dy) offset array — JVM-side, no UDF), equi-join on cell,
+  then rank.  Exact whenever the disk radius covers the true kNN radius;
+  ``knn_grid`` therefore takes the radius explicitly and the caller
+  (or a test) asserts parity against brute force on representative
+  layers.  This is the grid-based distributed kNN-join pattern
+  (cf. PAPERS.md, stream kNN-join literature).
+
+Ranking is deterministic: ties broken by ``cad_number``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rosreestr_xml_to_gis_converter_spark.index.grid import (
+    _IDX_MASK,
+    _IX_SHIFT,
+    _RES_SHIFT,
+    cell_col,
+    grid_disk_offsets,
+)
+from rosreestr_xml_to_gis_converter_spark.operators.spatial_join import with_geotag
+from rosreestr_xml_to_gis_converter_spark.synth import GeoBox
+
+KNN_OUT_COLS = ["image_id", "cad_number", "rank", "dist"]
+
+
+def _dist(lon: Column, lat: Column, clon: Column, clat: Column) -> Column:
+    dx = lon - clon
+    dy = lat - clat
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("image_id").orderBy(F.col("dist").asc(), F.col("cad_number").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("image_id", "cad_number", "rank", "dist")
+    )
+
+
+def knn_bruteforce(
+    images: DataFrame, centroids: DataFrame, box: GeoBox, k: int
+) -> DataFrame:
+    """Exact kNN via broadcast nested-loop (small centroid side).
+
+    ``centroids``: (cad_number, clon, clat).
+    """
+    pts = with_geotag(images, box).select("image_id", "lon", "lat")
+    cand = pts.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", _dist(F.col("lon"), F.col("lat"), F.col("clon"), F.col("clat"))
+    )
+    return _rank_topk(cand, k)
+
+
+def knn_grid(
+    images: DataFrame,
+    centroids: DataFrame,
+    box: GeoBox,
+    k: int,
+    res: int,
+    disk: int,
+) -> DataFrame:
+    """Grid-bounded kNN: candidates limited to centroids whose cell is
+    within Chebyshev distance ``disk`` of the image's cell at ``res``.
+
+    Exact iff every image's true k nearest centroids fall inside that
+    disk; pick ``res``/``disk`` so the disk's ground extent exceeds the
+    worst-case kNN radius of the layer (asserted in tests).  Candidate
+    expansion replicates the SMALL side (2*disk+1)^2 times — the 10^12-row
+    image side is never exploded.
+    """
+    pts = with_geotag(images, box).select("image_id", "lon", "lat")
+    pts = pts.withColumn("cell", cell_col(F.col("lat"), F.col("lon"), res))
+
+    offsets = grid_disk_offsets(disk)
+    off_col = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets]
+    )
+    cen = centroids.withColumn("_c", cell_col(F.col("clat"), F.col("clon"), res))
+    # decompose the centroid cell and re-pack the shifted neighbor cell —
+    # all Column arithmetic (grid_disk as relational algebra)
+    n_minus_1 = (1 << res) - 1
+    cen = (
+        cen.withColumn("_ix", F.shiftright(F.col("_c"), _IX_SHIFT).bitwiseAND(F.lit(_IDX_MASK)))
+        .withColumn("_iy", F.col("_c").bitwiseAND(F.lit(_IDX_MASK)))
+        .withColumn("_o", F.explode(off_col))
+        .withColumn("_nx", F.col("_ix") + F.col("_o.dx"))
+        .withColumn("_ny", F.col("_iy") + F.col("_o.dy"))
+        .filter(
+            (F.col("_nx") >= 0)
+            & (F.col("_nx") <= n_minus_1)
+            & (F.col("_ny") >= 0)
+            & (F.col("_ny") <= n_minus_1)
+        )
+        .withColumn(
+            "cell",
+            F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+            + F.col("_nx") * F.lit(1 << _IX_SHIFT).cast("long")
+            + F.col("_ny"),
+        )
+        .select("cell", "cad_number", "clon", "clat")
+    )
+    cand = pts.join(F.broadcast(cen), "cell", "inner").withColumn(
+        "dist", _dist(F.col("lon"), F.col("lat"), F.col("clon"), F.col("clat"))
+    )
+    return _rank_topk(cand, k)

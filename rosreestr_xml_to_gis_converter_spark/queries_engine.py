@@ -1,0 +1,331 @@
+"""New-engine queries (SURVEY.md section 2.2 + training-data ops) wired to
+the driver testdata, each with a DuckDB oracle where SQL can express it.
+
+The flagship spatial join / cell encode / kNN run the REAL engine
+machinery (grid index, cover builder, Arrow PIP refine, grid-disk kNN) on
+an images-shaped frame derived *arithmetically* from ``lineitem`` — so the
+DuckDB oracle can recompute the same geotags with plain SQL and the
+comparison is bitwise-exact end to end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosreestr_xml_to_gis_converter_spark.index.grid import cell_sql
+from rosreestr_xml_to_gis_converter_spark.operators import dedupe, similarity, textops
+from rosreestr_xml_to_gis_converter_spark.operators.knn import knn_grid
+from rosreestr_xml_to_gis_converter_spark.operators.spatial_join import (
+    build_parcel_cover,
+    spatial_join,
+    with_geotag,
+)
+from rosreestr_xml_to_gis_converter_spark.queries_ref import load
+from rosreestr_xml_to_gis_converter_spark.synth import (
+    TESTDATA_BOX,
+    TESTDATA_PARCELS,
+    images_from_lineitem,
+    parcels_values_sql,
+    phash_sql,
+    testdata_parcels_rings,
+)
+
+JOIN_RES = 12
+KNN_RES = 5
+KNN_DISK = 2
+KNN_K = 3
+
+_IMAGES_CTE = f"""
+images AS (
+  SELECT concat('img-', l_orderkey, '-', l_linenumber) AS image_id,
+         {phash_sql('l_orderkey', 'l_linenumber')} AS phash
+  FROM lineitem
+),
+pts AS (
+  SELECT image_id,
+         {TESTDATA_BOX.lon_sql('phash')} AS lon,
+         {TESTDATA_BOX.lat_sql('phash')} AS lat
+  FROM images
+)
+"""
+
+
+# --- flagship: cell encode ---------------------------------------------------
+
+def cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rosreestr_xml_to_gis_converter_spark.index.grid import cell_col
+
+    img = images_from_lineitem(spark, sf_dir)
+    pts = with_geotag(img, TESTDATA_BOX)
+    return pts.select(
+        "image_id",
+        "lon",
+        "lat",
+        cell_col(F.col("lat"), F.col("lon"), JOIN_RES).alias("cell"),
+    )
+
+
+CELL_ENCODE_SQL = f"""
+WITH {_IMAGES_CTE}
+SELECT image_id, lon, lat, {cell_sql('lat', 'lon', JOIN_RES)} AS cell FROM pts
+"""
+
+
+# --- flagship: spatial join --------------------------------------------------
+
+def flagship_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = images_from_lineitem(spark, sf_dir)
+    cover = build_parcel_cover(spark, testdata_parcels_rings(), JOIN_RES)
+    return spatial_join(img, cover, TESTDATA_BOX)
+
+
+FLAGSHIP_SQL = f"""
+WITH {_IMAGES_CTE}
+SELECT p.image_id, par.cad_number, {cell_sql('p.lat', 'p.lon', JOIN_RES)} AS cell
+FROM pts p
+JOIN {parcels_values_sql()}
+  ON p.lon >= par.lon_min AND p.lon < par.lon_max
+ AND p.lat >= par.lat_min AND p.lat < par.lat_max
+"""
+
+
+# --- flagship: kNN to nearest parcel ----------------------------------------
+
+def _centroids_pdf() -> pd.DataFrame:
+    rows = [
+        (cad, (x0 + x1) / 2.0, (y0 + y1) / 2.0) for cad, x0, y0, x1, y1 in TESTDATA_PARCELS
+    ]
+    return pd.DataFrame(rows, columns=["cad_number", "clon", "clat"])
+
+
+def knn_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    img = images_from_lineitem(spark, sf_dir)
+    centroids = spark.createDataFrame(_centroids_pdf())
+    out = knn_grid(img, centroids, TESTDATA_BOX, k=KNN_K, res=KNN_RES, disk=KNN_DISK)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _centroids_values_sql() -> str:
+    rows = ", ".join(
+        f"('{cad}', {(x0 + x1) / 2.0!r}, {(y0 + y1) / 2.0!r})"
+        for cad, x0, y0, x1, y1 in TESTDATA_PARCELS
+    )
+    return f"(VALUES {rows}) AS cen(cad_number, clon, clat)"
+
+
+KNN_SQL = f"""
+WITH {_IMAGES_CTE}
+SELECT image_id, cad_number, rank, dist FROM (
+  SELECT p.image_id, cen.cad_number,
+         row_number() OVER (
+           PARTITION BY p.image_id
+           ORDER BY sqrt((p.lon - cen.clon) * (p.lon - cen.clon)
+                       + (p.lat - cen.clat) * (p.lat - cen.clat)) ASC,
+                    cen.cad_number ASC) AS rank,
+         sqrt((p.lon - cen.clon) * (p.lon - cen.clon)
+            + (p.lat - cen.clat) * (p.lat - cen.clat)) AS dist
+  FROM pts p CROSS JOIN {_centroids_values_sql()}
+) WHERE rank <= {KNN_K}
+"""
+
+
+# --- dedup -------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedupe.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+_JACCARD_THRESHOLD = 0.12
+_NGRAM_DOC_LIMIT = 120  # all-pairs is quadratic; the LSH path is the scale story
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _NGRAM_DOC_LIMIT)
+    return dedupe.ngram_jaccard_pairs(d, threshold=_JACCARD_THRESHOLD, k=3)
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words
+  FROM documents WHERE doc_id < {_NGRAM_DOC_LIMIT}
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(words) >= 3 THEN
+           list_transform(range(1, len(words) - 1),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           ELSE [] END) AS sh
+  FROM w
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= {_JACCARD_THRESHOLD}
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _NGRAM_DOC_LIMIT)
+    return dedupe.minhash_lsh_pairs(d, threshold=_JACCARD_THRESHOLD, n_hashes=32, bands=16)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _NGRAM_DOC_LIMIT)
+    return dedupe.simhash_near_pairs(d, max_hamming=12)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.90
+    )
+
+
+# --- similarity search -------------------------------------------------------
+
+_N_QUERIES = 8
+_TOPK = 5
+
+
+def sim_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.cosine_topk(emb, q, k=_TOPK)
+
+
+SIM_COSINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000.0)) AS qv
+  FROM embeddings
+),
+n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS qn FROM e),
+q AS (SELECT vec_id AS query_id, qv AS qqv, qn AS qqn FROM n WHERE vec_id < {_N_QUERIES})
+SELECT query_id, cand_id, rank, cosine FROM (
+  SELECT q.query_id, e2.vec_id AS cand_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(e2.qv, q.qqv) / sqrt(e2.qn * q.qqn) DESC,
+                    e2.vec_id ASC) AS rank,
+         list_dot_product(e2.qv, q.qqv) / sqrt(e2.qn * q.qqn) AS cosine
+  FROM n e2 CROSS JOIN q
+  WHERE e2.vec_id <> q.query_id
+) WHERE rank <= {_TOPK}
+"""
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.lsh_topk(emb, q, k=_TOPK)
+
+
+# --- text analysis -----------------------------------------------------------
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_EN_PAT = r"\b(" + "|".join(textops.EN_STOPWORDS) + r")\b"
+_ES_PAT = r"\b(" + "|".join(textops.ES_STOPWORDS) + r")\b"
+
+TEXT_LANGID_SQL = f"""
+SELECT doc_id,
+       CASE WHEN len(regexp_extract_all(text, '{_EN_PAT}')) > len(regexp_extract_all(text, '{_ES_PAT}'))
+             AND len(regexp_extract_all(text, '{_EN_PAT}')) > 0 THEN 'en'
+            WHEN len(regexp_extract_all(text, '{_ES_PAT}')) > len(regexp_extract_all(text, '{_EN_PAT}'))
+             AND len(regexp_extract_all(text, '{_ES_PAT}')) > 0 THEN 'es'
+            ELSE 'xx' END AS lang_pred
+FROM documents
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        textops.token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+TEXT_TOKENS_SQL = rf"""
+SELECT doc_id,
+       len(string_split_regex(text, '\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{textops.BPE_ISH_PATTERN}')) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textops.quality_score(F.col("text"), F.col("n_chars")).alias("quality")
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(floor(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000)
+            + floor(CAST(len(regexp_extract_all(text, '{_EN_PAT}')) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1000)
+            + (CASE WHEN n_chars < 100 THEN 0 WHEN n_chars < 1000 THEN 1 ELSE 2 END)
+            AS BIGINT) AS quality
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", textops.fingerprint(F.col("text")).alias("fp"))
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(list_transform(string_split(lower(text), ' '),
+                                          w -> substr(w, 1, 1)), '')) AS fp
+FROM documents
+"""
+
+
+ENGINE_QUERIES = {
+    "cell_encode": cell_encode,
+    "flagship_spatial_join": flagship_spatial_join,
+    "knn_parcels": knn_parcels,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "sim_ann_cosine": sim_ann_cosine,
+    "sim_ann_lsh": sim_ann_lsh,
+    "text_langid": text_langid,
+    "text_tokens": text_tokens,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+}
+
+# non-SQL-expressible ops (custom hashing / engine internals) are omitted
+# here on purpose -> driver records the weaker rows-only check for them
+ENGINE_ORACLES = {
+    "cell_encode": CELL_ENCODE_SQL,
+    "flagship_spatial_join": FLAGSHIP_SQL,
+    "knn_parcels": KNN_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "sim_ann_cosine": SIM_COSINE_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_tokens": TEXT_TOKENS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}

@@ -115,9 +115,7 @@ def parcels_values_sql() -> str:
     rows = ", ".join(
         f"('{cad}', {x0!r}, {y0!r}, {x1!r}, {y1!r})" for cad, x0, y0, x1, y1 in TESTDATA_PARCELS
     )
-    return (
-        f"(VALUES {rows}) AS parcels(cad_number, lon_min, lat_min, lon_max, lat_max)"
-    )
+    return f"(VALUES {rows}) AS par(cad_number, lon_min, lat_min, lon_max, lat_max)"
 
 
 # ---------------------------------------------------------------------------
