@@ -1,0 +1,122 @@
+"""Per-partition checkpoint / lineage / metrics (north-rule requirement).
+
+Batch jobs over 100 TB fail mid-run; the unit of resumability here is a
+*bucket* — a deterministic hash partition of the output keyed by a chosen
+column (for the spatial join: the coarse parent cell, so restart locality
+matches data locality).
+
+Protocol (exactly-once per bucket directory):
+
+1. output is written ``partitionBy(bucket)`` in bucket *groups* with
+   dynamic partition overwrite — re-running a group overwrites its
+   directories instead of duplicating rows;
+2. after a group lands, one lineage row per bucket (run_id, bucket,
+   n_rows, wall time) is appended to ``_lineage``;
+3. resume = recompute the todo set as (all buckets) anti-join (lineage
+   buckets for this run_id) and continue — completed groups are skipped,
+   a half-written group is overwritten byte-identically.
+
+The lineage table doubles as the per-partition metrics table (row counts
+per bucket per run); global counters come from ``df.observe``.
+Parquet-backed so it works offline; the same call pattern maps 1:1 onto
+Iceberg ``overwritePartitions``/append when a catalog is attached
+(sources/catalog.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+
+
+def with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
+    """Deterministic bucket id from a key column (stable across runs and
+    cluster sizes — xxhash64, not partition index)."""
+    return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int"))
+
+
+class CheckpointedWriter:
+    def __init__(self, spark: SparkSession, base_dir: str, run_id: str):
+        self.spark = spark
+        self.base_dir = base_dir.rstrip("/")
+        self.run_id = run_id
+        self.data_dir = f"{self.base_dir}/data"
+        self.lineage_dir = f"{self.base_dir}/_lineage"
+
+    # -- lineage ---------------------------------------------------------
+
+    def completed_buckets(self) -> set[int]:
+        if not os.path.exists(self.lineage_dir):
+            return set()
+        rows = (
+            self.spark.read.parquet(self.lineage_dir)
+            .filter(F.col("run_id") == self.run_id)
+            .select("bucket")
+            .collect()
+        )
+        return {r.bucket for r in rows}
+
+    def _record(self, entries: list[tuple[int, int, float]]) -> None:
+        pdf = self.spark.createDataFrame(
+            [(self.run_id, b, n, secs) for b, n, secs in entries],
+            schema="run_id string, bucket int, n_rows long, secs double",
+        )
+        pdf.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(self.lineage_dir)
+
+    # -- checkpointed write ----------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        key_col: str,
+        n_buckets: int,
+        group_size: int = 4,
+        fail_after_groups: int | None = None,
+    ) -> int:
+        """Write ``df`` bucketed by ``key_col`` with per-group checkpoints.
+
+        Returns the number of bucket groups actually executed (0 when the
+        run was already complete).  ``fail_after_groups`` injects a crash
+        for resume tests.
+        """
+        bdf = with_bucket(df, key_col, n_buckets)
+        done = self.completed_buckets()
+        todo = [b for b in range(n_buckets) if b not in done]
+        groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
+        prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for gi, group in enumerate(groups):
+                if fail_after_groups is not None and gi >= fail_after_groups:
+                    raise RuntimeError("injected failure for resume test")
+                t0 = time.time()
+                obs = Observation(f"ckpt-{self.run_id}-{gi}")
+                part = bdf.filter(F.col(BUCKET_COL).isin(group)).observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                )
+                part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.data_dir)
+                secs = time.time() - t0
+                counts = {
+                    r[BUCKET_COL]: r["n"]
+                    for r in self.spark.read.parquet(self.data_dir)
+                    .filter(F.col(BUCKET_COL).isin(group))
+                    .groupBy(BUCKET_COL)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                del obs  # group totals recorded per bucket below
+                self._record([(b, counts.get(b, 0), secs / len(group)) for b in group])
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        return len(groups)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.data_dir)

@@ -1,0 +1,85 @@
+"""Streaming ingest operators.
+
+The reference processes a directory incrementally with per-file progress
+(/root/reference/main.py:347-461); the engine's streaming analog is a
+Structured Streaming source over arriving files with watermarked,
+windowed state.  Batch/stream parity is the correctness contract: every
+streaming query here has a batch twin computed with identical Column
+expressions, and tests assert equality after ``processAllAvailable``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "6 hours", watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event type (late rows beyond
+    the watermark are dropped — the engine's late-data policy)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value_cents",
+        )
+    )
+
+
+def windowed_counts_batch(events: DataFrame, window: str = "6 hours") -> DataFrame:
+    """Batch twin of :func:`windowed_counts` (no watermark semantics needed
+    in batch — all data is present)."""
+    return (
+        events.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value_cents")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids within the
+    watermark horizon (stateful dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(df: DataFrame, name: str) -> None:
+    """Drive a streaming query to completion synchronously (test helper)."""
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def run_complete_to_memory(df: DataFrame, name: str) -> None:
+    q = df.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()

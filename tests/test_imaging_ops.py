@@ -1,0 +1,66 @@
+"""Multimodal operator tests: decode/validate/features/resize/frame-sample
+pipelines over Spark with the input_hint invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from rosreestr_xml_to_gis_converter_spark.functions.imaging import decode_png
+from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import (
+    encode_fake_video,
+    image_features,
+    resize_images,
+    sample_frames,
+    validate_images,
+)
+from rosreestr_xml_to_gis_converter_spark.schemas import IMAGES_SCHEMA
+from rosreestr_xml_to_gis_converter_spark.synth import gen_images_pdf
+
+
+def _images(spark, seed=11, n=24):
+    return spark.createDataFrame(gen_images_pdf(seed, n), schema=IMAGES_SCHEMA)
+
+
+def test_validate_images_invariants(spark):
+    out = validate_images(_images(spark)).toPandas()
+    assert out["ok"].all()
+    assert (out["psnr"] >= 40.0).all()  # inf for png, ~42.7 for the jpeg stub
+    # caption byte-equality through the pipeline (join back on image_id)
+    src = gen_images_pdf(11, 24)
+    merged = out.merge(src[["image_id", "caption"]], on="image_id")
+    assert (merged["caption_len"] == merged["caption"].str.len()).all()
+    assert (merged["width"] == src.set_index("image_id").loc[merged["image_id"], "w"].values).all()
+
+
+def test_image_features_deterministic_and_sane(spark):
+    a = image_features(_images(spark)).toPandas().sort_values("image_id").reset_index(drop=True)
+    b = image_features(_images(spark)).toPandas().sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["mean_r"].between(0, 255).all()
+    assert (a["ahash"] >= 0).all()
+    assert a["ahash"].nunique() > 1
+
+
+def test_resize_images_shape_and_content(spark):
+    out = resize_images(_images(spark, n=9), 16, 16).toPandas()
+    assert (out["w"] == 16).all() and (out["h"] == 16).all() and (out["fmt"] == "png").all()
+    for _, r in out.iterrows():
+        arr = decode_png(r["bytes"])
+        assert arr.shape == (16, 16, 3)
+    # captions carried through byte-identically
+    src = gen_images_pdf(11, 9)
+    assert set(out["caption"]) == set(src["caption"])
+
+
+def test_sample_frames_stub_container(spark):
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, size=(10, 12, 16, 3), dtype=np.uint8).astype(np.uint8)
+    vids = spark.createDataFrame(
+        pd.DataFrame({"video_id": ["v1"], "bytes": [encode_fake_video(frames)]})
+    )
+    out = sample_frames(vids, every_k=3).toPandas().sort_values("frame_idx")
+    assert out["frame_idx"].tolist() == [0, 3, 6, 9]
+    assert (out["w"] == 16).all() and (out["h"] == 12).all()
+    got0 = decode_png(out.iloc[0]["bytes"])
+    assert np.array_equal(got0, frames[0])
