@@ -97,34 +97,41 @@ def normalize_rings(rings: Sequence[np.ndarray]) -> list[np.ndarray]:
     return out
 
 
-def segment_rings(labels: np.ndarray, xy: np.ndarray) -> list[np.ndarray]:
+def segment_rings(
+    labels: np.ndarray, xy: np.ndarray, keep_open_tail: bool = True
+) -> list[np.ndarray]:
     """Split an ordered vertex stream into closed rings.
 
     Reference semantics (/root/reference/real_estate.py:735-757): scan the
     stream; a ring closes at the first re-occurrence of an already-seen
-    vertex label within the current ring; the closing vertex is appended
-    (so every emitted ring repeats its first vertex last) and the next
-    ring starts at the following vertex.
+    vertex label; the closing vertex is included (every emitted ring
+    repeats its first vertex last) and the next ring starts at the
+    following vertex.  Two reference quirks reproduced deliberately:
+
+    * the seen-label set is NOT reset between rings (``num_point``
+      accumulates for the whole entity at real_estate.py:750-756), so a
+      label reused across rings closes the later ring early;
+    * vertices after the last closure never form a ring (the reference
+      iterates only over recorded closures, real_estate.py:764-780) —
+      pass ``keep_open_tail=False`` for that exact behavior; the default
+      ``True`` keeps the tail, which is what the engine's general
+      segmentation operator wants.
     """
     labels = np.asarray(labels)
     xy = np.asarray(xy, dtype=np.float64)
     rings: list[np.ndarray] = []
     start = 0
-    seen: dict[object, int] = {}
-    i = 0
+    seen: set[object] = set()
     n = len(labels)
-    while i < n:
+    for i in range(n):
         lab = labels[i]
         if lab in seen:
-            ring = np.concatenate([xy[start : i + 1]], axis=0)
-            rings.append(ring)
+            rings.append(xy[start : i + 1].copy())
             start = i + 1
-            seen = {}
         else:
-            seen[lab] = i
-        i += 1
-    if start < n:
-        rings.append(xy[start:n])
+            seen.add(lab)
+    if keep_open_tail and start < n:
+        rings.append(xy[start:n].copy())
     return rings
 
 

@@ -1,0 +1,196 @@
+"""EGRN-extract XML ingest: build the parcel layer from Rosreestr-style
+cadastral extracts, distributed.
+
+Reference behavior re-expressed Spark-first (NOT a port):
+
+* schema dispatch by sniffing the root's children — the 6-way dispatch at
+  /root/reference/real_estate.py:39-66; two representative families are
+  implemented (the namespaced KVZU-style and the new-style
+  ``land_record``), unknown roots go to the error bucket instead of being
+  silently skipped (main.py:350-352 appends to ``xml_errors``);
+* attribute projection — the XPath getters (cad_number
+  real_estate.py:93-105, area :813-822/:1576-1584, category code
+  :875-886, address :824-858, date :697-715 with the dd.mm.yyyy invert);
+* geometry assembly — vertex stream -> rings on repeated ``SuNmb``
+  (:735-757, including the accumulated-label quirk), axis swap to [y, x]
+  (:746-748), first-ring-positive/holes-negative orientation
+  (:764-780), last-writer-wins per key (:781-782);
+* classifier joins happen AFTER ingest as broadcast joins (the reference
+  re-reads 6 CSVs per object, real_estate.py:32-37 — the engine loads
+  each dimension once).
+
+Execution shape: files land as (path, content) rows (``binaryFile``
+source or a listing), parsing runs in ``mapInPandas`` batches —
+one Python stage, Arrow in/out, no driver loop — so a 10^8-file ingest
+distributes like any other scan.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from rosreestr_xml_to_gis_converter_spark.functions.geometry import (
+    normalize_rings,
+    pack_rings,
+    segment_rings,
+)
+
+KVZU_NS = "urn://x-artefacts-rosreestr-ru/outgoing/kvzu/7.0.1"
+
+PARCEL_ROW_SCHEMA = (
+    "doc_id string, source_schema string, cad_number string, area string, "
+    "category_code string, address string, date_reg string, geom binary, "
+    "error string"
+)
+
+
+def _assemble_geometry(entity: ET.Element, ns: str) -> bytes | None:
+    """EntitySpatial -> packed normalized rings (reference semantics)."""
+    labels: list[str] = []
+    pts: list[list[float]] = []
+    for unit in entity.iter(f"{ns}SpelementUnit" if ns else "SpelementUnit"):
+        ordinate = unit.find(f"{ns}Ordinate" if ns else "Ordinate")
+        if ordinate is None:
+            continue
+        # axis swap: reference stores [y, x] (real_estate.py:746-748)
+        pts.append([float(ordinate.get("Y")), float(ordinate.get("X"))])
+        labels.append(unit.get("SuNmb"))
+    if not pts:
+        return None
+    rings = segment_rings(np.array(labels), np.array(pts), keep_open_tail=False)
+    if not rings:
+        return None
+    return pack_rings(normalize_rings(rings))
+
+
+def _parse_kvzu(root: ET.Element) -> list[dict]:
+    ns = "{%s}" % KVZU_NS
+    rows = []
+    for parcel in root.iter(f"{ns}Parcel"):
+        cad = parcel.get("CadastralNumber")
+        area_el = parcel.find(f"{ns}Area/{ns}Value")
+        cat_el = parcel.find(f"{ns}Category")
+        addr_el = parcel.find(f"{ns}Address/{ns}Note")
+        date_reg = parcel.get("DateCreated")
+        geom = None
+        # last-writer-wins across spatial entities (real_estate.py:781-782)
+        for entity in parcel.findall(f"{ns}EntitySpatial"):
+            g = _assemble_geometry(entity, ns)
+            if g is not None:
+                geom = g
+        rows.append(
+            {
+                "source_schema": "KVZU",
+                "cad_number": cad,
+                "area": area_el.text if area_el is not None else None,
+                "category_code": cat_el.text if cat_el is not None else None,
+                "address": addr_el.text if addr_el is not None else None,
+                # dd.mm.yyyy invert (real_estate.py:712-715)
+                "date_reg": _invert_date(date_reg),
+                "geom": geom,
+                "error": None,
+            }
+        )
+    return rows
+
+
+def _parse_land_record(root: ET.Element) -> list[dict]:
+    rows = []
+    for rec in root.iter("land_record"):
+        cad_el = rec.find("object/common_data/cad_number")
+        area_el = rec.find("params/area/value")
+        cat_el = rec.find("params/category/type/code")
+        addr_el = rec.find("address_location/address/readable_address")
+        date_el = rec.find("record_info/registration_date")
+        geom = None
+        for entity in rec.findall("contours_location/contours/contour/entity_spatial"):
+            g = _assemble_geometry(entity, "")
+            if g is not None:
+                geom = g
+        rows.append(
+            {
+                "source_schema": "land_record",
+                "cad_number": cad_el.text if cad_el is not None else None,
+                "area": area_el.text if area_el is not None else None,
+                "category_code": cat_el.text if cat_el is not None else None,
+                "address": addr_el.text if addr_el is not None else None,
+                "date_reg": _invert_date(date_el.text if date_el is not None else None),
+                "geom": geom,
+                "error": None,
+            }
+        )
+    return rows
+
+
+def _invert_date(iso: str | None) -> str | None:
+    """ISO yyyy-mm-dd -> dd.mm.yyyy via split/reverse (real_estate.py:712-715)."""
+    if not iso:
+        return None
+    return ".".join(reversed(iso.split("T")[0].split("-")))
+
+
+def parse_extract(doc_id: str, content: bytes | str) -> list[dict]:
+    """One extract document -> rows (dispatch + project + assemble)."""
+    base = {
+        "doc_id": doc_id,
+        "source_schema": None,
+        "cad_number": None,
+        "area": None,
+        "category_code": None,
+        "address": None,
+        "date_reg": None,
+        "geom": None,
+    }
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as e:
+        return [{**base, "error": f"parse_error: {e}"}]
+    ns = "{%s}" % KVZU_NS
+    if root.find(f"{ns}Parcels/{ns}Parcel") is not None:
+        rows = _parse_kvzu(root)
+    elif root.find("land_record") is not None:
+        rows = _parse_land_record(root)
+    else:
+        return [{**base, "error": "unsupported_schema"}]
+    return [{**base, **r} for r in rows]
+
+
+def parse_extracts(files: DataFrame) -> DataFrame:
+    """(path string, content binary) -> parcel rows, error bucket included."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id",
+            "source_schema",
+            "cad_number",
+            "area",
+            "category_code",
+            "address",
+            "date_reg",
+            "geom",
+            "error",
+        ]
+        for pdf in it:
+            rows: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_extract(path, bytes(content)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(batches, schema=PARCEL_ROW_SCHEMA)
+
+
+def read_extract_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of .xml files -> (path, content) via the binaryFile
+    source (distributed listing + read; the reference's os.listdir +
+    per-file loop at main.py:157-158,347)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xml")
+        .load(path)
+        .select("path", "content")
+    )

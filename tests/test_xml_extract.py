@@ -1,0 +1,146 @@
+"""XML ingest parity: dispatch, projection, geometry assembly quirks, and
+the distributed mapInPandas path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rosreestr_xml_to_gis_converter_spark.functions.geometry import (
+    gauss_area,
+    unpack_rings,
+)
+from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import (
+    kvzu_xml,
+    land_record_xml,
+    unsupported_xml,
+)
+from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import (
+    parse_extract,
+    parse_extracts,
+)
+
+SQUARE_XY = np.array([[10.0, 20.0], [14.0, 20.0], [14.0, 24.0], [10.0, 24.0], [10.0, 20.0]])
+HOLE_XY = np.array([[11.0, 21.0], [11.0, 23.0], [13.0, 23.0], [13.0, 21.0], [11.0, 21.0]])
+
+
+def test_dispatch_and_projection_kvzu():
+    rows = parse_extract("f1.xml", kvzu_xml("69:40:01:5", [SQUARE_XY]))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["source_schema"] == "KVZU"
+    assert r["cad_number"] == "69:40:01:5"
+    assert r["area"] == "1000"
+    assert r["category_code"] == "003001000000"
+    assert r["date_reg"] == "17.05.2020"  # dd.mm.yyyy invert
+    assert r["error"] is None
+
+
+def test_dispatch_land_record():
+    r = parse_extract("f2.xml", land_record_xml("50:11:003:12", [SQUARE_XY]))[0]
+    assert r["source_schema"] == "land_record"
+    assert r["cad_number"] == "50:11:003:12"
+    assert r["date_reg"] == "03.11.2021"
+    assert r["geom"] is not None
+
+
+def test_unsupported_schema_goes_to_error_bucket():
+    r = parse_extract("bad.xml", unsupported_xml())[0]
+    assert r["source_schema"] is None
+    assert r["error"] == "unsupported_schema"
+    r2 = parse_extract("broken.xml", b"<notclosed")[0]
+    assert r2["error"].startswith("parse_error")
+
+
+def test_geometry_axis_swap_and_orientation():
+    """Rings come back [y, x] (reference axis swap), first ring positive
+    gauss sign, hole negative (real_estate.py:746-780)."""
+    r = parse_extract("g.xml", kvzu_xml("69:40:01:7", [SQUARE_XY, HOLE_XY]))[0]
+    rings = unpack_rings(r["geom"])
+    assert len(rings) == 2
+    # axis swap: stored pairs are [y, x]
+    ys = {p[0] for p in rings[0]}
+    assert ys == {20.0, 24.0}
+    assert gauss_area(rings[0]) > 0
+    assert gauss_area(rings[1]) < 0
+
+
+def test_last_writer_wins_across_entities():
+    """A second EntitySpatial overwrites the first (real_estate.py:781-782)."""
+    shifted = SQUARE_XY + 100.0
+    r = parse_extract(
+        "lww.xml", kvzu_xml("69:40:01:8", [SQUARE_XY], extra_entity=[shifted])
+    )[0]
+    rings = unpack_rings(r["geom"])
+    assert len(rings) == 1
+    assert {p[1] for p in rings[0]} == {110.0, 114.0}  # the LATER entity's xs
+
+
+def test_open_tail_dropped():
+    """Vertices after the last closure form no ring (reference iterates
+    closures only, real_estate.py:764-780)."""
+    from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import KVZU_NS
+
+    # hand-built entity: labels 1,2,3,4 never repeat -> no closure
+    units = "".join(
+        f'<SpelementUnit SuNmb="{i + 1}"><Ordinate X="{x!r}" Y="{y!r}"/></SpelementUnit>'
+        for i, (x, y) in enumerate(SQUARE_XY[:-1])
+    )
+    xml = f"""<?xml version="1.0"?><KVZU xmlns="{KVZU_NS}"><Parcels>
+    <Parcel CadastralNumber="69:40:01:9"><EntitySpatial><SpatialElement>{units}
+    </SpatialElement></EntitySpatial></Parcel></Parcels></KVZU>"""
+    r = parse_extract("open.xml", xml)[0]
+    assert r["geom"] is None
+
+
+def test_distributed_parse_matches_local(spark):
+    docs = {
+        "a.xml": kvzu_xml("69:40:01:1", [SQUARE_XY]),
+        "b.xml": land_record_xml("50:11:003:2", [SQUARE_XY, HOLE_XY]),
+        "c.xml": unsupported_xml(),
+    }
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            {"path": list(docs), "content": [v.encode() for v in docs.values()]}
+        )
+    )
+    got = {r.doc_id: r.asDict() for r in parse_extracts(files).collect()}
+    assert got["a.xml"]["cad_number"] == "69:40:01:1"
+    assert got["b.xml"]["source_schema"] == "land_record"
+    assert got["c.xml"]["error"] == "unsupported_schema"
+    local = parse_extract("b.xml", docs["b.xml"])[0]
+    assert bytes(got["b.xml"]["geom"]) == local["geom"]
+
+
+def test_classifier_label_join_after_ingest(spark):
+    """Code -> label broadcast join with '-' default (the reference's
+    per-object dict lookups, real_estate.py:881-886)."""
+    from pyspark.sql import functions as F
+
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "path": ["a.xml", "b.xml"],
+                "content": [
+                    kvzu_xml("1:1:1:1", [SQUARE_XY], category="003001000000").encode(),
+                    kvzu_xml("1:1:1:2", [SQUARE_XY], category="999999999999").encode(),
+                ],
+            }
+        )
+    )
+    parcels = parse_extracts(files)
+    dim = spark.createDataFrame(
+        [("003001000000", "Земли сельскохозяйственного назначения")],
+        schema="code string, label string",
+    )
+    out = {
+        r.cad_number: r.category
+        for r in parcels.join(
+            F.broadcast(dim), parcels.category_code == dim.code, "left"
+        )
+        .select("cad_number", F.coalesce("label", F.lit("-")).alias("category"))
+        .collect()
+    }
+    assert out["1:1:1:1"].startswith("Земли")
+    assert out["1:1:1:2"] == "-"
