@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: one JSON line for the driver.
+
+Usage: python bench.py            (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Runs the flagship spatial join plus the other headline operators at the
+given scale factor, reports per-query seconds and the north-rule metric
+(spatial-join throughput, matched pairs/sec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rosreestr_xml_to_gis_converter_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("bench", cores=cpus)
+
+    from rosreestr_xml_to_gis_converter_spark.operators.spatial_join import (
+        build_parcel_cover,
+    )
+    from rosreestr_xml_to_gis_converter_spark.operators.tiling import tile_masks
+    from rosreestr_xml_to_gis_converter_spark.queries_engine import (
+        JOIN_RES,
+        dedup_minhash_lsh,
+        flagship_spatial_join,
+        knn_parcels,
+        sim_ann_cosine,
+    )
+    from rosreestr_xml_to_gis_converter_spark.queries_ref import (
+        a1_owner_agg,
+        g4_lww_upsert,
+        j2_denorm_join,
+    )
+    from rosreestr_xml_to_gis_converter_spark.synth import testdata_parcels_rings
+
+    results: dict[str, float] = {}
+    counts: dict[str, int] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        counts[name] = fn().count()
+        results[name] = round(time.time() - t0, 3)
+
+    # warm the JVM and the Python daemon's worker pool once so per-query
+    # timings measure steady-state throughput, not one-time process spawn
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
+
+    run("flagship_spatial_join", lambda: flagship_spatial_join(spark, sf_dir))
+    run("knn_parcels", lambda: knn_parcels(spark, sf_dir))
+    run(
+        "tile_masks_res12",
+        lambda: tile_masks(
+            build_parcel_cover(spark, testdata_parcels_rings(), JOIN_RES), px=32
+        ),
+    )
+    run("j2_denorm_join", lambda: j2_denorm_join(spark, sf_dir))
+    run("a1_owner_agg", lambda: a1_owner_agg(spark, sf_dir))
+    run("g4_lww_upsert", lambda: g4_lww_upsert(spark, sf_dir))
+    run("dedup_minhash_lsh", lambda: dedup_minhash_lsh(spark, sf_dir))
+    run("sim_ann_cosine", lambda: sim_ann_cosine(spark, sf_dir))
+
+    total = round(sum(results.values()), 3)
+    join_pairs = counts["flagship_spatial_join"]
+    throughput = round(join_pairs / results["flagship_spatial_join"], 1)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "cpus": cpus,
+                "spatial_join_matched_pairs": join_pairs,
+                "spatial_join_pairs_per_sec": throughput,
+                "row_counts": counts,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

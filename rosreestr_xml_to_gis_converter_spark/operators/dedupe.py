@@ -53,7 +53,9 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs n-gram Jaccard (exact, quadratic) — the small-N oracle
     baseline; MinHash-LSH below is the scale path with the same verify."""
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+    ).cache()  # both self-join sides reuse the shingled relation
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -111,7 +113,10 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bucket")
+    ).select("id", "sh", "bb.band", "bb.bucket").cache()
+    # cache: the bucket self-join would otherwise recompute the full
+    # shingle->minhash->band pipeline for BOTH sides (at scale: persist
+    # signatures to a table once, join from there)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -143,7 +143,7 @@ FROM documents GROUP BY md5(text)
 """
 
 _JACCARD_THRESHOLD = 0.12
-_NGRAM_DOC_LIMIT = 120  # all-pairs is quadratic; the LSH path is the scale story
+_NGRAM_DOC_LIMIT = 150  # all-pairs is quadratic; the LSH path is the scale story
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

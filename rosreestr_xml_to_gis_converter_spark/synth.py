@@ -128,24 +128,64 @@ _PH_A = 2654435761  # Knuth multiplicative-hash constants; products stay < 2^63
 _PH_B = 40503
 
 
-def images_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def images_from_lineitem(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
     """Project the driver's ``lineitem`` into the input_hint shape.
 
     ``bytes`` is null here (the codec path is covered by the synthesized
     table below); geometry-relevant columns (image_id, phash) are exact
-    integer arithmetic mirrored in :func:`images_from_lineitem_sql`.
+    integer arithmetic mirrored in the SQL oracle.  ``replicate`` blows
+    the table up deterministically (distinct phash per copy) for scaling
+    runs — the 10^12-row story at sandbox size.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    phash = phash_col(F.col("l_orderkey"), F.col("l_linenumber").cast("long"))
+    if replicate > 1:
+        # fan-out changes the data volume: spread the (small) pre-explode
+        # input across all cores first, so the 16x row generation and
+        # everything downstream parallelizes (a small parquet file yields
+        # only 1-3 scan splits otherwise)
+        li = li.repartition(spark.sparkContext.defaultParallelism)
+        li = li.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        )
+        a = F.col("l_orderkey") * F.lit(replicate) + F.col("_rep")
+        img_id = F.concat_ws(
+            "-", F.lit("img"), F.col("l_orderkey"), F.col("l_linenumber"), F.col("_rep")
+        )
+    else:
+        a = F.col("l_orderkey")
+        img_id = F.concat_ws("-", F.lit("img"), F.col("l_orderkey"), F.col("l_linenumber"))
+    phash = phash_col(a, F.col("l_linenumber").cast("long"))
     return li.select(
-        F.concat_ws("-", F.lit("img"), F.col("l_orderkey"), F.col("l_linenumber")).alias(
-            "image_id"
-        ),
+        img_id.alias("image_id"),
         F.lit(None).cast("binary").alias("bytes"),
         F.lit(64).alias("w"),
         F.lit(64).alias("h"),
         F.lit("png").alias("fmt"),
         F.concat(F.lit("parcel photo "), F.col("l_orderkey")).alias("caption"),
+        phash.alias("phash"),
+    )
+
+
+def scaling_images(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """Partition-true synthetic images table for scaling runs.
+
+    ``spark.range`` splits perfectly across cores — the sandbox stand-in
+    for a well-partitioned 10^12-row Iceberg scan (the driver testdata
+    parquet has too few row groups to feed 32 cores).  Same input_hint
+    shape and phash arithmetic as :func:`images_from_lineitem`.
+    """
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    r = spark.range(0, n_rows, 1, parts)
+    phash = phash_col(F.col("id"), (F.col("id") % F.lit(7)).cast("long"))
+    return r.select(
+        F.concat(F.lit("img-"), F.col("id")).alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(64).alias("w"),
+        F.lit(64).alias("h"),
+        F.lit("png").alias("fmt"),
+        F.concat(F.lit("parcel photo "), F.col("id")).alias("caption"),
         phash.alias("phash"),
     )
 

@@ -109,6 +109,6 @@ def test_join_plan_is_codegen_and_broadcast(spark, tmp_path):
     # column pruning: only image_id + phash leave the scan
     scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
     assert "phash" in scan and "caption" not in scan and "bytes" not in scan
-    # exactly one Python stage (the refine) in the whole pipeline
+    # exactly one Python stage (the Arrow-native refine) in the pipeline
     final_plan = plan.split("== Initial Plan ==")[0]
-    assert final_plan.count("MapInPandas") == 1
+    assert final_plan.count("MapInArrow") + final_plan.count("MapInPandas") == 1
