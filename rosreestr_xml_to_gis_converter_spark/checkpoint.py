@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "_bucket"
@@ -98,21 +98,17 @@ class CheckpointedWriter:
                 if fail_after_groups is not None and gi >= fail_after_groups:
                     raise RuntimeError("injected failure for resume test")
                 t0 = time.time()
-                obs = Observation(f"ckpt-{self.run_id}-{gi}")
-                part = bdf.filter(F.col(BUCKET_COL).isin(group)).observe(
-                    obs, F.count(F.lit(1)).alias("n")
-                )
+                part = bdf.filter(F.col(BUCKET_COL).isin(group))
                 part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.data_dir)
                 secs = time.time() - t0
+                # per-bucket row counts from the written group (empty
+                # buckets are legal — they produce no files, only lineage)
                 counts = {
                     r[BUCKET_COL]: r["n"]
-                    for r in self.spark.read.parquet(self.data_dir)
-                    .filter(F.col(BUCKET_COL).isin(group))
-                    .groupBy(BUCKET_COL)
+                    for r in part.groupBy(BUCKET_COL)
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 }
-                del obs  # group totals recorded per bucket below
                 self._record([(b, counts.get(b, 0), secs / len(group)) for b in group])
         finally:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

@@ -13,21 +13,27 @@ from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import KVZU_NS
 
 
 def _spatial_xml(rings: list[np.ndarray], tag: str, unit: str, ord_tag: str) -> str:
-    """Rings (x, y) -> EntitySpatial XML with SuNmb ring-closure labels."""
+    """Rings (easting, northing) -> EntitySpatial XML with SuNmb labels.
+
+    EGRN Ordinate semantics (the reason the reference swaps at
+    real_estate.py:746-748): attribute ``X`` is the NORTHING and ``Y`` is
+    the EASTING, so the parser's ``[Y, X]`` emission yields conventional
+    (x=easting, y=northing) pairs.
+    """
     parts = [f"<{tag}>"]
     label = 0
     for ring in rings:
         parts.append("<SpatialElement>")
         first_label = label + 1
         n = len(ring)
-        for i, (x, y) in enumerate(ring):
+        for i, (easting, northing) in enumerate(ring):
             if i == n - 1:
                 su = first_label  # closing vertex repeats the first label
             else:
                 label += 1
                 su = label
             parts.append(
-                f'<{unit} SuNmb="{su}"><{ord_tag} X="{x!r}" Y="{y!r}"/></{unit}>'
+                f'<{unit} SuNmb="{su}"><{ord_tag} X="{northing!r}" Y="{easting!r}"/></{unit}>'
             )
         parts.append("</SpatialElement>")
     parts.append(f"</{tag}>")

@@ -57,7 +57,8 @@ def _assemble_geometry(entity: ET.Element, ns: str) -> bytes | None:
         ordinate = unit.find(f"{ns}Ordinate" if ns else "Ordinate")
         if ordinate is None:
             continue
-        # axis swap: reference stores [y, x] (real_estate.py:746-748)
+        # axis swap (real_estate.py:746-748): EGRN Ordinate X is the
+        # NORTHING and Y the EASTING, so [Y, X] is conventional (x, y)
         pts.append([float(ordinate.get("Y")), float(ordinate.get("X"))])
         labels.append(unit.get("SuNmb"))
     if not pts:

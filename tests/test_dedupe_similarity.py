@@ -1,0 +1,163 @@
+"""Dedup + ANN operators against planted ground truth.
+
+Synthesizes a corpus with planted exact duplicates and near-duplicates
+(word-level perturbations), then checks each dedup strategy finds them,
+and measures LSH recall against the exact baselines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rosreestr_xml_to_gis_converter_spark.operators.dedupe import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from rosreestr_xml_to_gis_converter_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+VOCAB = [
+    "parcel", "cadastral", "survey", "boundary", "polygon", "raster", "tile",
+    "image", "caption", "spark", "shuffle", "join", "index", "cell", "river",
+    "forest", "field", "road", "house", "garden", "quarter", "district",
+]
+
+
+def _corpus(seed: int, n: int, n_words: int = 60) -> pd.DataFrame:
+    """n base docs + per-5th doc an exact dup + per-7th a near dup."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    did = 0
+    for i in range(n):
+        words = list(rng.choice(VOCAB, size=n_words))
+        text = " ".join(words)
+        rows.append((did, text, "en", f"src{i % 4}", len(text)))
+        did += 1
+        if i % 5 == 0:  # exact duplicate
+            rows.append((did, text, "en", "dup", len(text)))
+            did += 1
+        if i % 7 == 0:  # near duplicate: perturb ~5% of words
+            w2 = words.copy()
+            for j in rng.choice(n_words, size=3, replace=False):
+                w2[j] = str(rng.choice(VOCAB))
+            t2 = " ".join(w2)
+            rows.append((did, t2, "en", "near", len(t2)))
+            did += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_corpus(3, 40)).cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    out = exact_dedup(docs).toPandas()
+    n_docs = docs.count()
+    assert out["n_copies"].sum() == n_docs
+    assert (out["n_copies"] >= 2).sum() == 8  # ceil(40/5) planted exact dups
+    # keeper is the min doc_id of each group
+    assert (out["keeper_id"] < out["keeper_id"] + out["n_copies"]).all()
+
+
+def test_ngram_jaccard_finds_exact_and_near(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).toPandas()
+    # every exact-dup pair has jaccard 1.0; near dups land high too
+    assert (pairs["jaccard"] == 1.0).sum() >= 8
+    assert len(pairs) >= 8 + 6  # exact + most near pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    want = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5, n_hashes=32, bands=16).collect()
+    }
+    # verify step guarantees precision; recall should be high at 16 bands
+    assert got <= want
+    assert len(got) / len(want) >= 0.9, (len(got), len(want))
+
+
+def test_simhash_flags_near_duplicates(spark, docs):
+    pairs = simhash_near_pairs(docs, max_hamming=10).toPandas()
+    # exact dups have identical simhash -> hamming 0
+    assert (pairs["hamming"] == 0).sum() >= 8
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    want = {
+        (r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert len(want & got) / len(want) >= 0.9
+
+
+def _emb_frame(seed: int, n: int, dim: int = 32) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant near-dups: every 6th vector is a tiny perturbation of its prev
+    for i in range(6, n, 6):
+        base[i] = base[i - 1] + rng.standard_normal(dim).astype(np.float32) * 0.05
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    return pd.DataFrame(
+        {"vec_id": range(n), "embedding": list(base), "label": [i % 3 for i in range(n)]}
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    pdf = _emb_frame(9, 120)
+    return spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding], int(r.label)) for r in pdf.itertuples()],
+        schema="vec_id long, embedding array<float>, label int",
+    ).cache()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    pdf = _emb_frame(9, 120)
+    mat = np.stack(pdf["embedding"].to_numpy())
+    q = (mat * 1000).round()
+    sims = (q @ q.T) / np.sqrt((q * q).sum(1)[:, None] * (q * q).sum(1)[None, :])
+    np.fill_diagonal(sims, -np.inf)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = cosine_topk(emb, queries, k=4).toPandas()
+    for qid, grp in got.groupby("query_id"):
+        order = np.lexsort((np.arange(len(sims)), -sims[qid]))[:4]
+        assert grp.sort_values("rank")["cand_id"].tolist() == order.tolist()
+
+
+def test_lsh_topk_finds_true_high_similarity_neighbors(spark, emb):
+    """Sign-LSH recall is meaningful for genuinely similar vectors (the
+    ANN contract), not for near-orthogonal random top-k: query with the
+    planted perturbed vectors and require their cosine~0.998 twin at
+    rank 1."""
+    planted_ids = list(range(6, 120, 6))
+    queries = emb.filter(F.col("vec_id").isin(planted_ids))
+    got = lsh_topk(emb, queries, k=1, n_planes=10).toPandas()
+    hits = sum(
+        1
+        for _, r in got.iterrows()
+        if r["rank"] == 1 and r.cand_id == r.query_id - 1
+    )
+    assert hits / len(planted_ids) >= 0.9, hits
+    # and on those twins LSH agrees with exact brute force
+    brute = cosine_topk(emb, queries, k=1).toPandas()
+    bm = dict(zip(brute["query_id"], brute["cand_id"]))
+    for _, r in got.iterrows():
+        if r["rank"] == 1:
+            assert bm[r.query_id] == r.cand_id
+
+
+def test_embedding_near_dup_pairs_find_planted(spark, emb):
+    out = embedding_near_dup_pairs(emb, threshold=0.95, n_planes=8).toPandas()
+    planted = {(i - 1, i) for i in range(6, 120, 6)}
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert len(planted & got) / len(planted) >= 0.7

@@ -1,0 +1,104 @@
+"""kNN operator: grid-disk candidate path must equal brute force exactly
+whenever the disk covers the true kNN radius."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rosreestr_xml_to_gis_converter_spark.operators.knn import knn_bruteforce, knn_grid
+from rosreestr_xml_to_gis_converter_spark.schemas import IMAGES_SCHEMA
+from rosreestr_xml_to_gis_converter_spark.synth import TESTDATA_BOX, gen_images_pdf
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    pdf = gen_images_pdf(31, 300)
+    pdf["bytes"] = None
+    return spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def centroids(spark):
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "cad_number": [f"69:40:{i:07d}:1" for i in range(20)],
+            "clon": TESTDATA_BOX.lon0 + rng.uniform(0.05, 0.95, 20) * TESTDATA_BOX.dlon,
+            "clat": TESTDATA_BOX.lat0 + rng.uniform(0.05, 0.95, 20) * TESTDATA_BOX.dlat,
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _rows(df):
+    return {(r.image_id, r.cad_number, r.rank, r.dist) for r in df.collect()}
+
+
+def test_grid_equals_bruteforce_when_disk_covers(spark, images, centroids):
+    """res 5 cells are 11.25 x 5.625 deg; disk 2 spans > the whole box
+    diagonal (13.4 deg), so the grid path must be exact."""
+    want = _rows(knn_bruteforce(images, centroids, TESTDATA_BOX, k=3))
+    got = _rows(knn_grid(images, centroids, TESTDATA_BOX, k=3, res=5, disk=2))
+    assert got == want
+    assert len(want) == 300 * 3
+
+
+def test_grid_finer_res_smaller_disk_matches_disk_constrained_oracle(
+    spark, images, centroids
+):
+    """At res 8 / disk 3 the disk may truncate far neighbors: the result
+    must be exactly the top-k among centroids whose cell is within the
+    disk of the image's cell (numpy oracle)."""
+    from rosreestr_xml_to_gis_converter_spark.index.grid import cell_ij, latlng_to_cell
+
+    res, disk, k = 8, 3, 3
+    got = {
+        (r.image_id, r.cad_number, r["rank"])
+        for _, r in knn_grid(images, centroids, TESTDATA_BOX, k=k, res=res, disk=disk)
+        .toPandas()
+        .iterrows()
+    }
+    ipdf = gen_images_pdf(31, 300)
+    cpdf = centroids.toPandas()
+    lon = TESTDATA_BOX.lon_np(ipdf["phash"].to_numpy(np.int64))
+    lat = TESTDATA_BOX.lat_np(ipdf["phash"].to_numpy(np.int64))
+    ix, iy = cell_ij(latlng_to_cell(lat, lon, res))
+    cx, cy = cell_ij(latlng_to_cell(cpdf["clat"].to_numpy(), cpdf["clon"].to_numpy(), res))
+    want = set()
+    for i in range(len(ipdf)):
+        within = (np.abs(cx - ix[i]) <= disk) & (np.abs(cy - iy[i]) <= disk)
+        cand = cpdf[within].copy()
+        if cand.empty:
+            continue
+        cand["dist"] = np.sqrt(
+            (lon[i] - cand["clon"]) ** 2 + (lat[i] - cand["clat"]) ** 2
+        )
+        cand = cand.sort_values(["dist", "cad_number"]).head(k)
+        for rank, (_, r) in enumerate(cand.iterrows(), start=1):
+            want.add((ipdf["image_id"].iloc[i], r.cad_number, rank))
+    assert got == want
+
+
+def test_knn_deterministic_tiebreak(spark):
+    """Two centroids at identical distance -> cad_number ascending."""
+    img = spark.createDataFrame(
+        pd.DataFrame(
+            [("i1", None, 1, 1, "png", "c", 0)],
+            columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+        ),
+        schema=IMAGES_SCHEMA,
+    )
+    # phash 0 -> lon=lon0, lat=lat0; place centroids symmetric around it
+    cen = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cad_number": ["b", "a"],
+                "clon": [TESTDATA_BOX.lon0 + 1.0, TESTDATA_BOX.lon0 - 1.0],
+                "clat": [TESTDATA_BOX.lat0, TESTDATA_BOX.lat0],
+            }
+        )
+    )
+    out = knn_bruteforce(img, cen, TESTDATA_BOX, k=2).toPandas().sort_values("rank")
+    assert out["cad_number"].tolist() == ["a", "b"]

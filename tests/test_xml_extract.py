@@ -54,14 +54,15 @@ def test_unsupported_schema_goes_to_error_bucket():
 
 
 def test_geometry_axis_swap_and_orientation():
-    """Rings come back [y, x] (reference axis swap), first ring positive
-    gauss sign, hole negative (real_estate.py:746-780)."""
+    """EGRN Ordinate X=northing / Y=easting: the parser's [Y, X] swap
+    (reference real_estate.py:746-748) yields conventional (x, y) rings;
+    first ring positive gauss sign, hole negative (:764-780)."""
     r = parse_extract("g.xml", kvzu_xml("69:40:01:7", [SQUARE_XY, HOLE_XY]))[0]
     rings = unpack_rings(r["geom"])
     assert len(rings) == 2
-    # axis swap: stored pairs are [y, x]
-    ys = {p[0] for p in rings[0]}
-    assert ys == {20.0, 24.0}
+    # stored pairs are (easting, northing) = the fixture's (x, y)
+    xs = {p[0] for p in rings[0]}
+    assert xs == {10.0, 14.0}
     assert gauss_area(rings[0]) > 0
     assert gauss_area(rings[1]) < 0
 
@@ -74,7 +75,7 @@ def test_last_writer_wins_across_entities():
     )[0]
     rings = unpack_rings(r["geom"])
     assert len(rings) == 1
-    assert {p[1] for p in rings[0]} == {110.0, 114.0}  # the LATER entity's xs
+    assert {p[0] for p in rings[0]} == {110.0, 114.0}  # the LATER entity's xs
 
 
 def test_open_tail_dropped():
