@@ -25,7 +25,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    spark = get_spark("bench", cores=cpus)
+    spark = get_spark(
+        "bench",
+        cores=cpus,
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "262144",
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        },
+    )
 
     from rosreestr_xml_to_gis_converter_spark.operators.spatial_join import (
         build_parcel_cover,
