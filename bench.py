@@ -30,7 +30,10 @@ def main() -> None:
         cores=cpus,
         extra_conf={
             "spark.sql.execution.arrow.maxRecordsPerBatch": "262144",
-            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            # small-SF parquet would otherwise yield 1-3 scan splits and
+            # starve the cores (a 100 TB table never has this problem)
+            "spark.sql.files.maxPartitionBytes": str(512 * 1024),
+            "spark.sql.files.openCostInBytes": str(128 * 1024),
         },
     )
 
@@ -55,10 +58,15 @@ def main() -> None:
     results: dict[str, float] = {}
     counts: dict[str, int] = {}
 
+    REPS = 2  # best-of guards against host-contention spikes on shared VMs
+
     def run(name: str, fn) -> None:
-        t0 = time.time()
-        counts[name] = fn().count()
-        results[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.time()
+            counts[name] = fn().count()
+            best = min(best, time.time() - t0)
+        results[name] = round(best, 3)
 
     # warm the JVM and the Python daemon's worker pool once so per-query
     # timings measure steady-state throughput, not one-time process spawn

@@ -44,11 +44,25 @@ def _dist(lon: Column, lat: Column, clon: Column, clat: Column) -> Column:
 
 
 def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
-    w = Window.partitionBy("image_id").orderBy(F.col("dist").asc(), F.col("cad_number").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("image_id", "cad_number", "rank", "dist")
+    """Per-image top-k by (dist, cad_number).
+
+    Hash aggregation (collect_list -> array_sort -> slice) instead of a
+    row_number window: candidates per image are bounded (by the disk or
+    the centroid count), so the aggregate gets map-side partial combine
+    and avoids the window's full sort of every candidate row — the
+    dominant cost at 10^12-image scale.
+    """
+    item = F.struct(F.col("dist").alias("dist"), F.col("cad_number").alias("cad_number"))
+    agg = cand.groupBy("image_id").agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("top")
+    )
+    return agg.select(
+        "image_id", F.posexplode("top").alias("pos", "t")
+    ).select(
+        "image_id",
+        F.col("t.cad_number").alias("cad_number"),
+        (F.col("pos") + 1).alias("rank"),
+        F.col("t.dist").alias("dist"),
     )
 
 

@@ -175,7 +175,9 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _NGRAM_DOC_LIMIT)
-    return dedupe.minhash_lsh_pairs(d, threshold=_JACCARD_THRESHOLD, n_hashes=32, bands=16)
+    # 16 hashes keep the generated signature expression small (first-call
+    # janino compile dominates otherwise); r=2 rows/band preserves recall
+    return dedupe.minhash_lsh_pairs(d, threshold=_JACCARD_THRESHOLD, n_hashes=16, bands=8)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
