@@ -93,6 +93,22 @@ JOIN {parcels_values_sql()}
 
 # --- flagship: kNN to nearest parcel ----------------------------------------
 
+def flagship_spatial_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join through the explicit skew-salting path (hot cadastral
+    quarters) — identical result, verified against the same oracle."""
+    img = images_from_lineitem(spark, sf_dir)
+    cover = build_parcel_cover(spark, testdata_parcels_rings(), JOIN_RES)
+    return spatial_join(img, cover, TESTDATA_BOX, broadcast_cover=False, salt=4)
+
+
+def flagship_spatial_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join via the non-broadcast shuffled path (huge parcel layers):
+    geometry rides the join rows, pandas refine — same oracle."""
+    img = images_from_lineitem(spark, sf_dir)
+    cover = build_parcel_cover(spark, testdata_parcels_rings(), JOIN_RES)
+    return spatial_join(img, cover, TESTDATA_BOX, broadcast_cover=False)
+
+
 def _centroids_pdf() -> pd.DataFrame:
     rows = [
         (cad, (x0 + x1) / 2.0, (y0 + y1) / 2.0) for cad, x0, y0, x1, y1 in TESTDATA_PARCELS
@@ -132,6 +148,64 @@ SELECT image_id, cad_number, rank, dist FROM (
 
 
 # --- dedup -------------------------------------------------------------------
+
+def knn_parcels_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN via the broadcast nested-loop baseline — same oracle as
+    the grid path."""
+    from rosreestr_xml_to_gis_converter_spark.operators.knn import knn_bruteforce
+
+    img = images_from_lineitem(spark, sf_dir)
+    centroids = spark.createDataFrame(_centroids_pdf())
+    out = knn_bruteforce(img, centroids, TESTDATA_BOX, k=KNN_K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --- streaming realization: tumbling-window counts (batch twin) -------------
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.windowed_counts (same Column expressions;
+    stream/batch parity is proven in tests/test_streaming.py)."""
+    from rosreestr_xml_to_gis_converter_spark.streaming.events import (
+        windowed_counts_batch,
+    )
+
+    return windowed_counts_batch(load(spark, sf_dir, "events"), window="4 hours")
+
+
+STREAM_WINDOW_SQL = """
+SELECT time_bucket(INTERVAL '4 hours', ts, TIMESTAMP '1970-01-01') AS win_start,
+       event_type, count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- tiling + multimodal (rows-only: non-SQL-expressible kernels) -----------
+
+def tile_masks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rosreestr_xml_to_gis_converter_spark.operators.tiling import tile_masks
+
+    cover = build_parcel_cover(spark, testdata_parcels_rings(), JOIN_RES)
+    return tile_masks(cover, px=16)
+
+
+def image_validate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import (
+        validate_images,
+    )
+    from rosreestr_xml_to_gis_converter_spark.synth import gen_images_df
+
+    return validate_images(gen_images_df(spark, seed=42, n=60))
+
+
+def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import (
+        image_features,
+    )
+    from rosreestr_xml_to_gis_converter_spark.synth import gen_images_df
+
+    return image_features(gen_images_df(spark, seed=42, n=60))
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe.exact_dedup(load(spark, sf_dir, "documents"))
@@ -303,7 +377,14 @@ FROM documents
 ENGINE_QUERIES = {
     "cell_encode": cell_encode,
     "flagship_spatial_join": flagship_spatial_join,
+    "flagship_spatial_join_salted": flagship_spatial_join_salted,
+    "flagship_spatial_join_shuffle": flagship_spatial_join_shuffle,
     "knn_parcels": knn_parcels,
+    "knn_parcels_brute": knn_parcels_brute,
+    "stream_window_counts": stream_window_counts,
+    "tile_masks": tile_masks_q,
+    "image_validate": image_validate_q,
+    "image_features": image_features_q,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -322,7 +403,11 @@ ENGINE_QUERIES = {
 ENGINE_ORACLES = {
     "cell_encode": CELL_ENCODE_SQL,
     "flagship_spatial_join": FLAGSHIP_SQL,
+    "flagship_spatial_join_salted": FLAGSHIP_SQL,
+    "flagship_spatial_join_shuffle": FLAGSHIP_SQL,
     "knn_parcels": KNN_SQL,
+    "knn_parcels_brute": KNN_SQL,
+    "stream_window_counts": STREAM_WINDOW_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "sim_ann_cosine": SIM_COSINE_SQL,
