@@ -147,6 +147,85 @@ SELECT image_id, cad_number, rank, dist FROM (
 """
 
 
+# --- owner-aggregation matrix (A1, real_estate.py:183-452) -------------------
+
+def a1_owner_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's owner CASE matrix over a rights table derived
+    arithmetically from orders x customer (oracle mirrors every branch)."""
+    from rosreestr_xml_to_gis_converter_spark.operators.attrs import owner_summary
+
+    o = load(spark, sf_dir, "orders")
+    rights = o.select(
+        F.col("o_custkey").alias("doc_id"),
+        F.when(F.col("o_orderstatus") == "O", "Долевая собственность")
+        .when(F.col("o_orderstatus") == "F", "Совместная собственность")
+        .otherwise("Собственность")
+        .alias("right_type"),
+        F.concat(F.lit("Owner#"), (F.col("o_orderkey") % 4).cast("string")).alias("owner"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice")).cast("long")
+        ).alias("share_den"),
+    )
+    c = load(spark, sf_dir, "customer")
+    parcels = c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.when(F.col("c_mktsegment") == "FURNITURE", "Земли лесного фонда")
+        .otherwise("Прочее")
+        .alias("category"),
+        F.lit("Калининский").alias("district_name"),
+    )
+    return owner_summary(rights, parcels)
+
+
+A1_OWNER_MATRIX_SQL = """
+WITH rights AS (
+  SELECT o_custkey AS doc_id,
+         CASE o_orderstatus WHEN 'O' THEN 'Долевая собственность'
+              WHEN 'F' THEN 'Совместная собственность'
+              ELSE 'Собственность' END AS right_type,
+         'Owner#' || CAST(o_orderkey % 4 AS VARCHAR) AS owner,
+         CASE WHEN o_orderkey % 3 = 0 THEN CAST(round(o_totalprice) AS BIGINT) END AS share_den
+  FROM orders),
+par AS (
+  SELECT c_custkey AS doc_id,
+         CASE WHEN c_mktsegment = 'FURNITURE' THEN 'Земли лесного фонда'
+              ELSE 'Прочее' END AS category
+  FROM customer),
+g AS (
+  SELECT doc_id,
+         count(DISTINCT upper(owner)) AS n_owners,
+         max(share_den) AS max_den,
+         max(CASE WHEN share_den IS NOT NULL THEN 1 ELSE 0 END) AS has_shares,
+         list_sort(list_distinct(list(owner))) AS names,
+         list_sort(list_distinct(list(upper(owner)))) AS names_uc,
+         max(right_type) AS right_type,
+         list_sort(list_distinct(list(right_type || ' ' || owner))) AS pairs
+  FROM rights GROUP BY doc_id)
+SELECT p.doc_id,
+  CASE
+    WHEN g.n_owners IS NULL OR g.n_owners = 0 THEN
+      CASE WHEN p.category IN ('Земли лесного фонда', 'Земли водного фонда')
+           THEN 'Собственность РФ'
+           ELSE 'Администрация Калининского района' END
+    WHEN g.right_type = 'Долевая собственность' AND g.n_owners = 1
+      THEN g.right_type || ' ' || g.names[1]
+    WHEN g.right_type = 'Долевая собственность' AND g.n_owners = 2 AND g.has_shares = 1
+      THEN g.right_type || ' ' || array_to_string(g.names[1:2], ', ')
+           || ' (' || g.max_den || ' долей)'
+    WHEN g.right_type = 'Долевая собственность' AND g.n_owners = 2
+      THEN g.right_type || ' (' || array_to_string(g.names_uc[1:2], ', ') || ')'
+    WHEN g.right_type = 'Долевая собственность' AND g.has_shares = 1
+      THEN g.right_type || ' (' || g.max_den || ' долей; ' || g.n_owners || ' правообладателей)'
+    WHEN g.right_type = 'Долевая собственность'
+      THEN g.right_type || ' (' || g.n_owners || ' правообладателей)'
+    WHEN g.right_type = 'Совместная собственность'
+      THEN g.right_type || ' ' || array_to_string(g.names, ', ')
+    ELSE array_to_string(g.pairs, ', ')
+  END AS owner
+FROM par p LEFT JOIN g USING (doc_id)
+"""
+
+
 # --- dedup -------------------------------------------------------------------
 
 def knn_parcels_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,6 +460,7 @@ ENGINE_QUERIES = {
     "flagship_spatial_join_shuffle": flagship_spatial_join_shuffle,
     "knn_parcels": knn_parcels,
     "knn_parcels_brute": knn_parcels_brute,
+    "a1_owner_matrix": a1_owner_matrix,
     "stream_window_counts": stream_window_counts,
     "tile_masks": tile_masks_q,
     "image_validate": image_validate_q,
@@ -407,6 +487,7 @@ ENGINE_ORACLES = {
     "flagship_spatial_join_shuffle": FLAGSHIP_SQL,
     "knn_parcels": KNN_SQL,
     "knn_parcels_brute": KNN_SQL,
+    "a1_owner_matrix": A1_OWNER_MATRIX_SQL,
     "stream_window_counts": STREAM_WINDOW_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
