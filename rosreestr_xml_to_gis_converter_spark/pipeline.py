@@ -55,6 +55,24 @@ def build_parcel_layer(
     return parcels, errors
 
 
+def explode_entry_parcels(parcels: DataFrame) -> DataFrame:
+    """Composite parcels -> one attribute row per entry parcel, parent CN
+    carried; simple parcels get a single row with '-'
+    (/root/reference/main.py:416-454)."""
+    exploded = F.explode_outer("entry_parcels").alias("entry_cad_number")
+    return parcels.select(
+        "doc_id",
+        "cad_number",
+        exploded,
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("entry_cad_number"), F.col("cad_number")).alias("cad_number"),
+        F.when(
+            F.col("entry_cad_number").isNotNull(), F.col("cad_number")
+        ).otherwise(F.lit("-")).alias("parent_cad_number"),
+    )
+
+
 def contours_of(parcels: DataFrame) -> DataFrame:
     return parcels.filter(F.col("geom").isNotNull()).select(
         F.col("cad_number").alias("geom_key"),

@@ -48,6 +48,7 @@ def kvzu_xml(
     address: str = "обл. Тверская, р-н Калининский",
     date_created: str = "2020-05-17",
     extra_entity: list[np.ndarray] | None = None,
+    entry_parcels: list[str] | None = None,
 ) -> str:
     """KVZU-style extract (namespaced; dispatch at real_estate.py:53-54)."""
     geom = ""
@@ -55,6 +56,12 @@ def kvzu_xml(
         geom = _spatial_xml(rings, "EntitySpatial", "SpelementUnit", "Ordinate")
     if extra_entity is not None:
         geom += _spatial_xml(extra_entity, "EntitySpatial", "SpelementUnit", "Ordinate")
+    if entry_parcels:
+        geom += (
+            "<CompositionEZ>"
+            + "".join(f'<EntryParcel CadastralNumber="{cn}"/>' for cn in entry_parcels)
+            + "</CompositionEZ>"
+        )
     return f"""<?xml version="1.0" encoding="utf-8"?>
 <KVZU xmlns="{KVZU_NS}">
  <Parcels>

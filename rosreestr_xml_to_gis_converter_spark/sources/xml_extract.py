@@ -44,8 +44,8 @@ KVZU_NS = "urn://x-artefacts-rosreestr-ru/outgoing/kvzu/7.0.1"
 
 PARCEL_ROW_SCHEMA = (
     "doc_id string, source_schema string, cad_number string, area string, "
-    "category_code string, address string, date_reg string, geom binary, "
-    "error string"
+    "category_code string, address string, date_reg string, "
+    "entry_parcels array<string>, geom binary, error string"
 )
 
 
@@ -84,9 +84,16 @@ def _parse_kvzu(root: ET.Element) -> list[dict]:
             g = _assemble_geometry(entity, ns)
             if g is not None:
                 geom = g
+        # composite parcel ("единое землепользование"): entry-parcel CNs
+        # (real_estate.py:800-811) drive the downstream explode (E1)
+        entry = [
+            ep.get("CadastralNumber")
+            for ep in parcel.findall(f"{ns}CompositionEZ/{ns}EntryParcel")
+        ]
         rows.append(
             {
                 "source_schema": "KVZU",
+                "entry_parcels": entry or None,
                 "cad_number": cad,
                 "area": area_el.text if area_el is not None else None,
                 "category_code": cat_el.text if cat_el is not None else None,
@@ -116,6 +123,7 @@ def _parse_land_record(root: ET.Element) -> list[dict]:
         rows.append(
             {
                 "source_schema": "land_record",
+                "entry_parcels": None,
                 "cad_number": cad_el.text if cad_el is not None else None,
                 "area": area_el.text if area_el is not None else None,
                 "category_code": cat_el.text if cat_el is not None else None,
@@ -145,6 +153,7 @@ def parse_extract(doc_id: str, content: bytes | str) -> list[dict]:
         "category_code": None,
         "address": None,
         "date_reg": None,
+        "entry_parcels": None,
         "geom": None,
     }
     try:
@@ -173,6 +182,7 @@ def parse_extracts(files: DataFrame) -> DataFrame:
             "category_code",
             "address",
             "date_reg",
+            "entry_parcels",
             "geom",
             "error",
         ]

@@ -145,3 +145,37 @@ def test_classifier_label_join_after_ingest(spark):
     }
     assert out["1:1:1:1"].startswith("Земли")
     assert out["1:1:1:2"] == "-"
+
+
+def test_composite_parcel_entry_explode(spark):
+    """Composite land use (CompositionEZ) -> one row per entry parcel with
+    the parent CN carried; simple parcels one row with '-'
+    (real_estate.py:800-811, main.py:416-454)."""
+    from rosreestr_xml_to_gis_converter_spark.pipeline import explode_entry_parcels
+
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "path": ["ez.xml", "plain.xml"],
+                "content": [
+                    kvzu_xml(
+                        "69:40:0:1",
+                        [SQUARE_XY],
+                        entry_parcels=["69:40:1:1", "69:40:1:2", "69:40:1:3"],
+                    ).encode(),
+                    kvzu_xml("69:40:0:2", [SQUARE_XY]).encode(),
+                ],
+            }
+        )
+    )
+    parcels = parse_extracts(files)
+    rows = {
+        (r.cad_number, r.parent_cad_number)
+        for r in explode_entry_parcels(parcels).collect()
+    }
+    assert rows == {
+        ("69:40:1:1", "69:40:0:1"),
+        ("69:40:1:2", "69:40:0:1"),
+        ("69:40:1:3", "69:40:0:1"),
+        ("69:40:0:2", "-"),
+    }
