@@ -195,6 +195,49 @@ def parse_extracts(files: DataFrame) -> DataFrame:
     return files.mapInPandas(batches, schema=PARCEL_ROW_SCHEMA)
 
 
+def extract_zip_contents(files: DataFrame, drop_suffixes: tuple[str, ...] = (".sig",)) -> DataFrame:
+    """Two-level ZIP unpack as a distributed transform (S2).
+
+    The reference unpacks all ``.zip``, then zips nested one level deeper,
+    and deletes ``.sig`` companions (/root/reference/logic.py:83-93,
+    main.py:149-175) — on the local filesystem, serially.  Here the
+    archive bytes arrive as (path, content) rows and fan out to their
+    member files in ``mapInPandas``; non-zip rows pass through unchanged,
+    so the operator composes directly with :func:`parse_extracts`.
+    """
+    import io
+    import zipfile
+
+    def unpack(name: str, data: bytes, depth: int) -> list[tuple[str, bytes]]:
+        if depth < 0 or not zipfile.is_zipfile(io.BytesIO(data)):
+            return [(name, data)]
+        out: list[tuple[str, bytes]] = []
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            for member in z.namelist():
+                if member.endswith("/"):
+                    continue
+                out.extend(unpack(f"{name}!{member}", z.read(member), depth - 1))
+        return out
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[tuple[str, bytes]] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if str(path).lower().endswith(".zip"):
+                    rows.extend(unpack(str(path), data, depth=2))
+                else:
+                    rows.append((str(path), data))
+            keep = [
+                (p, c)
+                for p, c in rows
+                if not any(p.lower().endswith(s) for s in drop_suffixes)
+            ]
+            yield pd.DataFrame(keep, columns=["path", "content"])
+
+    return files.mapInPandas(batches, schema="path string, content binary")
+
+
 def read_extract_dir(spark: SparkSession, path: str) -> DataFrame:
     """Directory of .xml files -> (path, content) via the binaryFile
     source (distributed listing + read; the reference's os.listdir +

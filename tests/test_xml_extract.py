@@ -179,3 +179,40 @@ def test_composite_parcel_entry_explode(spark):
         ("69:40:1:3", "69:40:0:1"),
         ("69:40:0:2", "-"),
     }
+
+
+def test_zip_extraction_two_levels_and_sig_drop(spark):
+    """S2: nested zips fan out to member files; .sig companions dropped
+    (logic.py:83-93, main.py:149-175)."""
+    import io
+    import zipfile
+
+    from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import (
+        extract_zip_contents,
+    )
+
+    inner = io.BytesIO()
+    with zipfile.ZipFile(inner, "w") as z:
+        z.writestr("deep.xml", kvzu_xml("1:1:1:3", [SQUARE_XY]))
+        z.writestr("deep.sig", "signature")
+    outer = io.BytesIO()
+    with zipfile.ZipFile(outer, "w") as z:
+        z.writestr("a.xml", kvzu_xml("1:1:1:1", [SQUARE_XY]))
+        z.writestr("nested.zip", inner.getvalue())
+    files = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "path": ["batch.zip", "plain.xml"],
+                "content": [
+                    outer.getvalue(),
+                    kvzu_xml("1:1:1:2", [SQUARE_XY]).encode(),
+                ],
+            }
+        )
+    )
+    out = extract_zip_contents(files)
+    names = sorted(r.path for r in out.collect())
+    assert names == ["batch.zip!a.xml", "batch.zip!nested.zip!deep.xml", "plain.xml"]
+    # composes with the parser
+    got = {r.cad_number for r in parse_extracts(out).collect()}
+    assert got == {"1:1:1:1", "1:1:1:2", "1:1:1:3"}
