@@ -72,6 +72,45 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across
+    micro-batches via ``applyInPandasWithState`` (the engine's pattern
+    for operators Spark's built-in windowed aggs can't express —
+    SURVEY.md §2.2 checkpointable per-key state).
+
+    State: (n events seen, fixed-point value sum).  Emits the updated
+    running totals for every user present in the batch.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_total long, sum_value_cents long"
+    state_schema = "n long, s long"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int(pd.Series(pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_total": [n], "sum_value_cents": [s]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of the stateful operator's FINAL state."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+    )
+
+
 def run_to_memory(df: DataFrame, name: str) -> None:
     """Drive a streaming query to completion synchronously (test helper)."""
     q = df.writeStream.outputMode("append").format("memory").queryName(name).start()

@@ -57,3 +57,39 @@ def test_stream_dedup_removes_replayed_rows(spark, events_dir, tmp_path):
     assert got.d == want
     # every surviving row unique; duplicates within the watermark dropped
     assert got.n == got.d
+
+
+def test_stateful_user_totals_final_state_equals_batch(spark, events_dir):
+    """applyInPandasWithState running totals: the LAST emitted row per
+    user (after all micro-batches) must equal the batch aggregation."""
+    from rosreestr_xml_to_gis_converter_spark.streaming.events import (
+        stateful_user_totals,
+        user_totals_batch,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # n_total is monotonically nondecreasing per user -> the final state
+    # is the max-n_total emission
+    got = {
+        r.user_id: (r.n_total, r.sum_value_cents)
+        for r in spark.sql(
+            """SELECT user_id, n_total, sum_value_cents FROM (
+                 SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_total DESC) rn
+                 FROM user_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_total, r.sum_value_cents)
+        for r in user_totals_batch(spark.read.parquet(events_dir)).collect()
+    }
+    assert got == want
+    assert len(want) >= 10
