@@ -103,5 +103,54 @@ def land_record_xml(
 </extract_about_property_land>"""
 
 
+def kpzu_xml(
+    cad: str,
+    rings: list[np.ndarray] | None,
+    area: str = "750",
+    category: str = "003003000000",
+    address: str = "г. Тверь, ул. Советская",
+    date_created: str = "2019-02-11",
+) -> str:
+    """KPZU-style extract: single Parcel under the root (real_estate.py:55-56)."""
+    from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import KPZU_NS
+
+    geom = ""
+    if rings is not None:
+        geom = _spatial_xml(rings, "EntitySpatial", "SpelementUnit", "Ordinate")
+    return f"""<?xml version="1.0" encoding="utf-8"?>
+<KPZU xmlns="{KPZU_NS}">
+ <Parcel CadastralNumber="{cad}" DateCreated="{date_created}">
+  <Area><Value>{area}</Value></Area>
+  <Category>{category}</Category>
+  <Address><Note>{address}</Note></Address>
+  {geom}
+ </Parcel>
+</KPZU>"""
+
+
+def build_record_xml(
+    cad: str,
+    rings: list[np.ndarray] | None,
+    area: str = "450.7",
+    address: str = "Московская область, г. Истра",
+    reg_date: str = "2022-03-09",
+) -> str:
+    """New-style building extract (real_estate.py:59-60; OCC family)."""
+    geom = ""
+    if rings is not None:
+        inner = _spatial_xml(rings, "entity_spatial", "SpelementUnit", "Ordinate")
+        geom = f"<contours_location><contours><contour>{inner}</contour></contours></contours_location>"
+    return f"""<?xml version="1.0" encoding="utf-8"?>
+<extract_about_property_build>
+ <build_record>
+  <object><common_data><cad_number>{cad}</cad_number></common_data></object>
+  <params><area>{area}</area></params>
+  <address_location><address><readable_address>{address}</readable_address></address></address_location>
+  <record_info><registration_date>{reg_date}T00:00:00</registration_date></record_info>
+  {geom}
+ </build_record>
+</extract_about_property_build>"""
+
+
 def unsupported_xml() -> str:
     return '<?xml version="1.0"?><SomethingElse><x/></SomethingElse>'

@@ -41,6 +41,7 @@ from rosreestr_xml_to_gis_converter_spark.functions.geometry import (
 )
 
 KVZU_NS = "urn://x-artefacts-rosreestr-ru/outgoing/kvzu/7.0.1"
+KPZU_NS = "urn://x-artefacts-rosreestr-ru/outgoing/kpzu/6.0.1"
 
 PARCEL_ROW_SCHEMA = (
     "doc_id string, source_schema string, cad_number string, area string, "
@@ -107,6 +108,69 @@ def _parse_kvzu(root: ET.Element) -> list[dict]:
     return rows
 
 
+def _parse_kpzu(root: ET.Element) -> list[dict]:
+    """KPZU: a single Parcel directly under the root
+    (dispatch at real_estate.py:55-56); same element family as KVZU."""
+    ns = "{%s}" % KPZU_NS
+    rows = []
+    for parcel in root.findall(f"{ns}Parcel"):
+        area_el = parcel.find(f"{ns}Area/{ns}Value")
+        cat_el = parcel.find(f"{ns}Category")
+        addr_el = parcel.find(f"{ns}Address/{ns}Note")
+        geom = None
+        for entity in parcel.findall(f"{ns}EntitySpatial"):
+            g = _assemble_geometry(entity, ns)
+            if g is not None:
+                geom = g
+        rows.append(
+            {
+                "source_schema": "KPZU",
+                "cad_number": parcel.get("CadastralNumber"),
+                "area": area_el.text if area_el is not None else None,
+                "category_code": cat_el.text if cat_el is not None else None,
+                "address": addr_el.text if addr_el is not None else None,
+                "date_reg": _invert_date(parcel.get("DateCreated")),
+                "entry_parcels": None,
+                "geom": geom,
+                "error": None,
+            }
+        )
+    return rows
+
+
+def _parse_build_record(root: ET.Element) -> list[dict]:
+    """New-style building extract (dispatch at real_estate.py:59-60).
+
+    The OCC family stubs land-only attributes to '-' so every type fits
+    one table (real_estate.py:1771-1787) — mirrored here with
+    category_code '-' and the building-params area."""
+    rows = []
+    for rec in root.iter("build_record"):
+        cad_el = rec.find("object/common_data/cad_number")
+        area_el = rec.find("params/area")
+        addr_el = rec.find("address_location/address/readable_address")
+        date_el = rec.find("record_info/registration_date")
+        geom = None
+        for entity in rec.findall("contours_location/contours/contour/entity_spatial"):
+            g = _assemble_geometry(entity, "")
+            if g is not None:
+                geom = g
+        rows.append(
+            {
+                "source_schema": "build_record",
+                "cad_number": cad_el.text if cad_el is not None else None,
+                "area": area_el.text if area_el is not None else None,
+                "category_code": "-",  # OCC stub, real_estate.py:1771-1787
+                "address": addr_el.text if addr_el is not None else None,
+                "date_reg": _invert_date(date_el.text if date_el is not None else None),
+                "entry_parcels": None,
+                "geom": geom,
+                "error": None,
+            }
+        )
+    return rows
+
+
 def _parse_land_record(root: ET.Element) -> list[dict]:
     rows = []
     for rec in root.iter("land_record"):
@@ -161,10 +225,15 @@ def parse_extract(doc_id: str, content: bytes | str) -> list[dict]:
     except ET.ParseError as e:
         return [{**base, "error": f"parse_error: {e}"}]
     ns = "{%s}" % KVZU_NS
+    ns2 = "{%s}" % KPZU_NS
     if root.find(f"{ns}Parcels/{ns}Parcel") is not None:
         rows = _parse_kvzu(root)
+    elif root.find(f"{ns2}Parcel") is not None:
+        rows = _parse_kpzu(root)
     elif root.find("land_record") is not None:
         rows = _parse_land_record(root)
+    elif root.find("build_record") is not None:
+        rows = _parse_build_record(root)
     else:
         return [{**base, "error": "unsupported_schema"}]
     return [{**base, **r} for r in rows]

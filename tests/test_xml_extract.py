@@ -216,3 +216,26 @@ def test_zip_extraction_two_levels_and_sig_drop(spark):
     # composes with the parser
     got = {r.cad_number for r in parse_extracts(out).collect()}
     assert got == {"1:1:1:1", "1:1:1:2", "1:1:1:3"}
+
+
+def test_dispatch_kpzu_and_build_record():
+    """KPZU (single namespaced Parcel) and build_record (OCC family with
+    '-'-stubbed land attributes, real_estate.py:1771-1787)."""
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import (
+        build_record_xml,
+        kpzu_xml,
+    )
+
+    r = parse_extract("k.xml", kpzu_xml("69:40:02:7", [SQUARE_XY]))[0]
+    assert r["source_schema"] == "KPZU"
+    assert r["cad_number"] == "69:40:02:7"
+    assert r["area"] == "750"
+    assert r["date_reg"] == "11.02.2019"
+    assert r["geom"] is not None
+
+    b = parse_extract("b.xml", build_record_xml("69:40:02:8:15", [SQUARE_XY]))[0]
+    assert b["source_schema"] == "build_record"
+    assert b["cad_number"] == "69:40:02:8:15"
+    assert b["category_code"] == "-"  # OCC stub
+    assert b["area"] == "450.7"
+    assert b["geom"] is not None
