@@ -152,5 +152,34 @@ def build_record_xml(
 </extract_about_property_build>"""
 
 
+def kvoks_xml(
+    cad: str,
+    rings: list[np.ndarray] | None,
+    area: str = "120.5",
+    address: str = "г. Тверь, наб. Афанасия Никитина",
+    date_created: str = "2018-07-30",
+    kind: str = "Building",
+    ns: str | None = None,
+) -> str:
+    """KVOKS/KPOKS-style capital-construction extract
+    (real_estate.py:61-64): Realty wrapping a Building/Construction."""
+    from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import KVOKS_NS
+
+    ns = ns or KVOKS_NS
+    geom = ""
+    if rings is not None:
+        geom = _spatial_xml(rings, "EntitySpatial", "SpelementUnit", "Ordinate")
+    return f"""<?xml version="1.0" encoding="utf-8"?>
+<KVOKS xmlns="{ns}">
+ <Realty>
+  <{kind} CadastralNumber="{cad}" DateCreated="{date_created}">
+   <Area>{area}</Area>
+   <Address><Note>{address}</Note></Address>
+   {geom}
+  </{kind}>
+ </Realty>
+</KVOKS>"""
+
+
 def unsupported_xml() -> str:
     return '<?xml version="1.0"?><SomethingElse><x/></SomethingElse>'

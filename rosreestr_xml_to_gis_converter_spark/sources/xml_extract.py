@@ -42,6 +42,8 @@ from rosreestr_xml_to_gis_converter_spark.functions.geometry import (
 
 KVZU_NS = "urn://x-artefacts-rosreestr-ru/outgoing/kvzu/7.0.1"
 KPZU_NS = "urn://x-artefacts-rosreestr-ru/outgoing/kpzu/6.0.1"
+KVOKS_NS = "urn://x-artefacts-rosreestr-ru/outgoing/kvoks/3.0.1"
+KPOKS_NS = "urn://x-artefacts-rosreestr-ru/outgoing/kpoks/4.0.1"
 
 PARCEL_ROW_SCHEMA = (
     "doc_id string, source_schema string, cad_number string, area string, "
@@ -105,6 +107,57 @@ def _parse_kvzu(root: ET.Element) -> list[dict]:
                 "error": None,
             }
         )
+    return rows
+
+
+def _assemble_geometry_occ(entity: ET.Element, ns: str) -> bytes | None:
+    """OCC geometry variant (real_estate.py:1821-1835): one ring per
+    SpatialElement (no SuNmb segmentation), axis swap only — the
+    reference deliberately SKIPS orientation normalization here."""
+    rings: list[np.ndarray] = []
+    for spel in entity.findall(f"{ns}SpatialElement" if ns else "SpatialElement"):
+        pts = []
+        for unit in spel.iter(f"{ns}SpelementUnit" if ns else "SpelementUnit"):
+            ordinate = unit.find(f"{ns}Ordinate" if ns else "Ordinate")
+            if ordinate is not None:
+                pts.append([float(ordinate.get("Y")), float(ordinate.get("X"))])
+        if pts:
+            rings.append(np.asarray(pts, dtype=np.float64))
+    if not rings:
+        return None
+    return pack_rings(rings)
+
+
+def _parse_occ(root: ET.Element, ns_uri: str, schema: str) -> list[dict]:
+    """KVOKS/KPOKS: capital-construction Realty objects; land attributes
+    stubbed to '-' so all types fit one row shape (real_estate.py:1771-1787)."""
+    ns = "{%s}" % ns_uri
+    rows = []
+    for realty in root.findall(f"{ns}Realty"):
+        for obj in list(realty):
+            cad = obj.get("CadastralNumber")
+            if cad is None:
+                continue
+            area_el = obj.find(f"{ns}Area")
+            addr_el = obj.find(f"{ns}Address/{ns}Note")
+            geom = None
+            for entity in obj.findall(f"{ns}EntitySpatial"):
+                g = _assemble_geometry_occ(entity, ns)
+                if g is not None:
+                    geom = g
+            rows.append(
+                {
+                    "source_schema": schema,
+                    "cad_number": cad,
+                    "area": area_el.text if area_el is not None else None,
+                    "category_code": "-",  # OCC stub, real_estate.py:1771-1787
+                    "address": addr_el.text if addr_el is not None else None,
+                    "date_reg": _invert_date(obj.get("DateCreated")),
+                    "entry_parcels": None,
+                    "geom": geom,
+                    "error": None,
+                }
+            )
     return rows
 
 
@@ -234,6 +287,10 @@ def parse_extract(doc_id: str, content: bytes | str) -> list[dict]:
         rows = _parse_land_record(root)
     elif root.find("build_record") is not None:
         rows = _parse_build_record(root)
+    elif root.find("{%s}Realty" % KVOKS_NS) is not None:
+        rows = _parse_occ(root, KVOKS_NS, "KVOKS")
+    elif root.find("{%s}Realty" % KPOKS_NS) is not None:
+        rows = _parse_occ(root, KPOKS_NS, "KPOKS")
     else:
         return [{**base, "error": "unsupported_schema"}]
     return [{**base, **r} for r in rows]

@@ -239,3 +239,24 @@ def test_dispatch_kpzu_and_build_record():
     assert b["category_code"] == "-"  # OCC stub
     assert b["area"] == "450.7"
     assert b["geom"] is not None
+
+
+def test_dispatch_occ_families_skip_orientation():
+    """KVOKS/KPOKS: one ring per SpatialElement, NO orientation
+    normalization (real_estate.py:1821-1835) — a CCW-input ring stays
+    CCW, unlike the parcel families."""
+    from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import KPOKS_NS
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import kvoks_xml
+
+    ccw = SQUARE_XY  # engine-order CCW in (x, y)
+    r = parse_extract("o.xml", kvoks_xml("69:40:03:77", [ccw]))[0]
+    assert r["source_schema"] == "KVOKS"
+    assert r["category_code"] == "-"
+    rings = unpack_rings(r["geom"])
+    # parcel families would force this positive; OCC must NOT
+    kv = parse_extract("p.xml", kvzu_xml("69:40:03:78", [ccw]))[0]
+    assert gauss_area(unpack_rings(kv["geom"])[0]) > 0
+    assert gauss_area(rings[0]) < 0  # unnormalized
+
+    k = parse_extract("q.xml", kvoks_xml("69:40:03:79", [ccw], ns=KPOKS_NS))[0]
+    assert k["source_schema"] == "KPOKS"
