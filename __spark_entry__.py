@@ -21,6 +21,10 @@ from rosreestr_xml_to_gis_converter_spark.queries_engine import (  # noqa: E402
     ENGINE_QUERIES,
     flagship_spatial_join,
 )
+from rosreestr_xml_to_gis_converter_spark.queries_extra import (  # noqa: E402
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+)
 from rosreestr_xml_to_gis_converter_spark.queries_ref import (  # noqa: E402
     REF_ORACLES,
     REF_QUERIES,
@@ -34,8 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**REF_QUERIES, **ENGINE_QUERIES}
+    return {**REF_QUERIES, **ENGINE_QUERIES, **EXTRA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**REF_ORACLES, **ENGINE_ORACLES}
+    return {**REF_ORACLES, **ENGINE_ORACLES, **EXTRA_ORACLES}
