@@ -89,6 +89,27 @@ def main() -> None:
     run("dedup_minhash_lsh", lambda: dedup_minhash_lsh(spark, sf_dir))
     run("sim_ann_cosine", lambda: sim_ann_cosine(spark, sf_dir))
 
+    # corpus-scale LSH dedup over the whole documents table
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    run(
+        "dedup_minhash_corpus",
+        lambda: minhash_lsh_pairs(docs, threshold=0.5, n_hashes=16, bands=8),
+    )
+
+    # Arrow image-decode pipeline (generation/cache excluded from timing)
+    from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import (
+        validate_images,
+    )
+    from rosreestr_xml_to_gis_converter_spark.synth import gen_images_df
+
+    imgs = gen_images_df(spark, 42, 400).repartition(cpus).cache()
+    imgs.count()
+    run("image_validate_400", lambda: validate_images(imgs))
+
     total = round(sum(results.values()), 3)
     join_pairs = counts["flagship_spatial_join"]
     throughput = round(join_pairs / results["flagship_spatial_join"], 1)
