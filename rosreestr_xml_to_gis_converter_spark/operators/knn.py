@@ -80,6 +80,48 @@ def knn_bruteforce(
     return _rank_topk(cand, k)
 
 
+def knn_literal(
+    images: DataFrame,
+    centroids: list[tuple[str, float, float]],
+    box: GeoBox,
+    k: int,
+) -> DataFrame:
+    """Zero-shuffle kNN for a small centroid set (the common
+    parcel-layer-as-dimension case).
+
+    The centroids become a literal array of structs; per image row a
+    higher-order ``transform`` computes every distance, ``array_sort``
+    orders (dist, cad) lexicographically — identical tie-breaking to the
+    window/agg paths — and ``slice`` keeps k.  Everything stays inside
+    WholeStageCodegen: no shuffle, no aggregation state, perfectly linear
+    in |images|.  Use ``knn_grid`` when the centroid side is too large to
+    inline/broadcast.
+    """
+    pts = with_geotag(images, box).select("image_id", "lon", "lat")
+    cen_arr = F.array(
+        *[
+            F.struct(
+                F.lit(clon).alias("clon"), F.lit(clat).alias("clat"), F.lit(cad).alias("cad")
+            )
+            for cad, clon, clat in centroids
+        ]
+    )
+    scored = F.transform(
+        cen_arr,
+        lambda c: F.struct(
+            _dist(F.col("lon"), F.col("lat"), c["clon"], c["clat"]).alias("dist"),
+            c["cad"].alias("cad_number"),
+        ),
+    )
+    top = F.slice(F.array_sort(scored), 1, k)
+    return pts.select("image_id", F.posexplode(top).alias("pos", "t")).select(
+        "image_id",
+        F.col("t.cad_number").alias("cad_number"),
+        (F.col("pos") + 1).alias("rank"),
+        F.col("t.dist").alias("dist"),
+    )
+
+
 def knn_grid(
     images: DataFrame,
     centroids: DataFrame,

@@ -146,6 +146,24 @@ SELECT image_id, cad_number, rank, dist FROM (
 ) WHERE rank <= {KNN_K}
 """
 
+# literal fast path ranks per DISTINCT image (the driver testdata holds
+# duplicate (orderkey, linenumber) pairs; a real image table would not)
+KNN_LITERAL_SQL = f"""
+WITH {_IMAGES_CTE}
+, dpts AS (SELECT DISTINCT image_id, lon, lat FROM pts)
+SELECT image_id, cad_number, rank, dist FROM (
+  SELECT p.image_id, cen.cad_number,
+         row_number() OVER (
+           PARTITION BY p.image_id
+           ORDER BY sqrt((p.lon - cen.clon) * (p.lon - cen.clon)
+                       + (p.lat - cen.clat) * (p.lat - cen.clat)) ASC,
+                    cen.cad_number ASC) AS rank,
+         sqrt((p.lon - cen.clon) * (p.lon - cen.clon)
+            + (p.lat - cen.clat) * (p.lat - cen.clat)) AS dist
+  FROM dpts p CROSS JOIN {_centroids_values_sql()}
+) WHERE rank <= {KNN_K}
+"""
+
 
 # --- owner-aggregation matrix (A1, real_estate.py:183-452) -------------------
 
@@ -227,6 +245,20 @@ FROM par p LEFT JOIN g USING (doc_id)
 
 
 # --- dedup -------------------------------------------------------------------
+
+def knn_parcels_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle kNN fast path: centroids inlined as a literal struct
+    array, per-row sort/slice in codegen.  The operator assumes unique
+    image ids (true of a real image table); the driver testdata has
+    duplicate (orderkey, linenumber) pairs, so dedupe first to match the
+    per-distinct-key oracle."""
+    from rosreestr_xml_to_gis_converter_spark.operators.knn import knn_literal
+
+    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    cen = [tuple(r) for r in _centroids_pdf().itertuples(index=False)]
+    out = knn_literal(img, cen, TESTDATA_BOX, k=KNN_K)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
 
 def knn_parcels_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN via the broadcast nested-loop baseline — same oracle as
@@ -460,6 +492,7 @@ ENGINE_QUERIES = {
     "flagship_spatial_join_shuffle": flagship_spatial_join_shuffle,
     "knn_parcels": knn_parcels,
     "knn_parcels_brute": knn_parcels_brute,
+    "knn_parcels_literal": knn_parcels_literal,
     "a1_owner_matrix": a1_owner_matrix,
     "stream_window_counts": stream_window_counts,
     "tile_masks": tile_masks_q,
@@ -487,6 +520,7 @@ ENGINE_ORACLES = {
     "flagship_spatial_join_shuffle": FLAGSHIP_SQL,
     "knn_parcels": KNN_SQL,
     "knn_parcels_brute": KNN_SQL,
+    "knn_parcels_literal": KNN_LITERAL_SQL,
     "a1_owner_matrix": A1_OWNER_MATRIX_SQL,
     "stream_window_counts": STREAM_WINDOW_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
