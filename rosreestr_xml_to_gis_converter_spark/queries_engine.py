@@ -286,7 +286,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_WINDOW_SQL = """
 SELECT time_bucket(INTERVAL '4 hours', ts, TIMESTAMP '1970-01-01') AS win_start,
        event_type, count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """
 

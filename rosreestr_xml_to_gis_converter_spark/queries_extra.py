@@ -50,7 +50,7 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUBE_SQL = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -65,7 +65,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -87,10 +87,10 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIVOT_SQL = """
 SELECT l_returnflag,
-       sum(CASE WHEN l_linestatus = 'O'
-                THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS qty_o,
-       sum(CASE WHEN l_linestatus = 'F'
-                THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS qty_f
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+                THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS qty_o,
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+                THEN CAST(round(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS qty_f
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -123,7 +123,7 @@ WITH s AS (
                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > {_GAP_MS}
               THEN 1 ELSE 0 END AS ns
   FROM events)
-SELECT user_id, sum(ns) AS n_sessions FROM s GROUP BY user_id
+SELECT user_id, CAST(sum(ns) AS BIGINT) AS n_sessions FROM s GROUP BY user_id
 """
 
 

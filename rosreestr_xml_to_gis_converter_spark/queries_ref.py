@@ -202,9 +202,9 @@ def g1_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 G1_SQL = """
 SELECT user_id, event_id,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ring_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ring_id
 FROM events
 """
 
@@ -233,7 +233,7 @@ WITH v AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 )
-SELECT user_id, SUM(x * yn - xn * y) AS area2 FROM v GROUP BY user_id
+SELECT user_id, CAST(SUM(x * yn - xn * y) AS BIGINT) AS area2 FROM v GROUP BY user_id
 """
 
 
@@ -254,7 +254,7 @@ G3_SQL = """
 WITH g AS (
   SELECT user_id,
          list_sort(list(event_id)) AS ring,
-         SUM(CAST(round(value * 100) AS BIGINT) - 50) AS sign
+         CAST(SUM(CAST(round(value * 100) AS BIGINT) - 50) AS BIGINT) AS sign
   FROM events GROUP BY user_id
 )
 SELECT user_id,
@@ -302,7 +302,7 @@ SELECT o_custkey,
        count(*) AS n_orders,
        count(DISTINCT o_orderstatus) AS n_statuses,
        max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_price_cents,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM orders GROUP BY o_custkey
 """
 
@@ -471,7 +471,7 @@ def m1_metrics_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 M1_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY event_type
 """
 

@@ -65,7 +65,49 @@ def to_multiset(pdf: pd.DataFrame):
     return cols, sorted(rows, key=repr)
 
 
+_ARROW_TYPE_NORM = {
+    # widths/encodings both engines legitimately interchange (the driver's
+    # value-hash is int-width agnostic: round-1 text_tokens was hash-green
+    # with spark int32 vs duckdb int64) — but decimal128 (DuckDB HUGEINT)
+    # is NOT an int and does break the hash, so it is left distinct.
+    "int8": "int", "int16": "int", "int32": "int", "int64": "int",
+    "uint8": "int", "uint16": "int", "uint32": "int", "uint64": "int",
+    "float": "float", "double": "float", "halffloat": "float",
+    "large_string": "string",
+    "string_view": "string",
+    "large_binary": "binary",
+    "timestamp[us]": "timestamp",
+    "timestamp[ns]": "timestamp",
+    "timestamp[us, tz=UTC]": "timestamp",
+    "date32[day]": "date",
+    "date64[ms]": "date",
+}
+
+
+def _arrow_type_key(t) -> str:
+    s = str(t)
+    return _ARROW_TYPE_NORM.get(s, s)
+
+
+def arrow_schema_parity(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    """Driver-faithful type check: the driver value-hashes Arrow buffers, so a
+    DuckDB HUGEINT (int128/decimal) vs Spark int64 mismatches even when the
+    Python-normalized values are equal.  Round-1 lesson: SUM(BIGINT) in DuckDB
+    returns HUGEINT — every aggregate sum in oracle SQL must be CAST AS BIGINT."""
+    got = {f.name: _arrow_type_key(f.type) for f in spark_df.limit(0).toArrow().schema}
+    want = {f.name: _arrow_type_key(f.type)
+            for f in con.execute(f"SELECT * FROM ({sql}) LIMIT 0").fetch_arrow_table().schema}
+    if got != want:
+        diff = {k: (got.get(k), want.get(k))
+                for k in set(got) | set(want) if got.get(k) != want.get(k)}
+        return False, f"arrow type mismatch (spark, duckdb): {diff}"
+    return True, "OK"
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    ok, msg = arrow_schema_parity(spark_df, con, sql)
+    if not ok:
+        return ok, msg
     got = spark_df.toPandas()
     want = con.execute(sql).fetchdf()
     gc, gr = to_multiset(got)
