@@ -91,8 +91,16 @@ class CheckpointedWriter:
         done = self.completed_buckets()
         todo = [b for b in range(n_buckets) if b not in done]
         groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
+        if not groups:
+            return 0
         prev_mode = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # The upstream of ``df`` may be an expensive join; without a persist
+        # every per-group filter would recompute it (once for the write and
+        # once more for counts — ~2x groups full executions at 100 TB).
+        # Persist once, filter the cache per group, count from the files
+        # just written (parquet footer metadata, no upstream recompute).
+        bdf.persist()
         try:
             for gi, group in enumerate(groups):
                 if fail_after_groups is not None and gi >= fail_after_groups:
@@ -103,16 +111,37 @@ class CheckpointedWriter:
                 secs = time.time() - t0
                 # per-bucket row counts from the written group (empty
                 # buckets are legal — they produce no files, only lineage)
-                counts = {
-                    r[BUCKET_COL]: r["n"]
-                    for r in part.groupBy(BUCKET_COL)
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
+                counts = self._written_counts(group)
                 self._record([(b, counts.get(b, 0), secs / len(group)) for b in group])
         finally:
+            bdf.unpersist()
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         return len(groups)
+
+    def _written_counts(self, group: list[int]) -> dict[int, int]:
+        """Row count per bucket from the bucket directories just written —
+        a footer-metadata scan of the new files, never a recompute of the
+        input.  Missing directories mean the bucket was empty."""
+        paths = [f"{self.data_dir}/{BUCKET_COL}={b}" for b in group]
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        existing: list[str] = []
+        buckets: list[int] = []
+        for b, p in zip(group, paths):
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            if hp.getFileSystem(hconf).exists(hp):
+                existing.append(p)
+                buckets.append(b)
+        if not existing:
+            return {}
+        counts = (
+            self.spark.read.option("basePath", self.data_dir)
+            .parquet(*existing)
+            .groupBy(BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        return {r[BUCKET_COL]: r["n"] for r in counts}
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.data_dir)

@@ -161,7 +161,10 @@ def simhash(text: Column, n_bits: int = 64) -> Column:
 
     out = F.lit(0).cast("long")
     for b in range(n_bits):
-        out = out + bit_vote(b) * F.lit(1 << b).cast("long") if b < 63 else out
+        # bit 63 is the sign bit of a signed long: setting it == adding
+        # -2^63 (1 << 63 itself overflows a long literal)
+        weight = F.lit(-(1 << 63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
+        out = out + bit_vote(b) * weight
     return out
 
 

@@ -91,11 +91,16 @@ def lsh_topk(
     seed: int = 1234,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share the full sign signature OR any of
     ``n_planes`` one-bit-flipped variants (multi-probe), then exact
-    re-rank.  Scale path: the bucket join is an equi-join on ``sig``."""
-    dim = len(emb.select(vec_col).first()[0])
+    re-rank.  Scale path: the bucket join is an equi-join on ``sig``.
+
+    Pass ``dim`` explicitly on large tables — the fallback probes one row
+    driver-side to learn it."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = _planes(seed, n_planes, dim)
     e = emb.select(
         F.col(id_col).alias("cand_id"),
@@ -131,10 +136,15 @@ def embedding_near_dup_pairs(
     seed: int = 99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH buckets +
-    exact verify (the embedding analog of MinHash dedup)."""
-    dim = len(emb.select(vec_col).first()[0])
+    exact verify (the embedding analog of MinHash dedup).
+
+    Pass ``dim`` explicitly on large tables — the fallback probes one row
+    driver-side to learn it."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = _planes(seed, n_planes, dim)
     e = emb.select(
         F.col(id_col).alias("id"),

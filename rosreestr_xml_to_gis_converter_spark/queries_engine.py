@@ -372,7 +372,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.90
+        load(spark, sf_dir, "embeddings"), threshold=0.90, dim=64
     )
 
 
@@ -412,7 +412,7 @@ SELECT query_id, cand_id, rank, cosine FROM (
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return similarity.lsh_topk(emb, q, k=_TOPK)
+    return similarity.lsh_topk(emb, q, k=_TOPK, dim=64)
 
 
 # --- text analysis -----------------------------------------------------------

@@ -112,3 +112,43 @@ def test_join_plan_is_codegen_and_broadcast(spark, tmp_path):
     # exactly one Python stage (the Arrow-native refine) in the pipeline
     final_plan = plan.split("== Initial Plan ==")[0]
     assert final_plan.count("MapInArrow") + final_plan.count("MapInPandas") == 1
+
+
+def test_broadcast_cover_size_guard_falls_back(spark):
+    """Round-1 perf-weak #3: the broadcast path used to .collect() boundary
+    geometry unconditionally.  Over the byte threshold spatial_join must
+    auto-fall-back to the shuffled geometry-on-rows path (no driver
+    collect, no MapInArrow) and still return the exact result."""
+    import warnings
+
+    from rosreestr_xml_to_gis_converter_spark.operators.spatial_join import (
+        CoverTooLargeError,
+        prepare_cover,
+    )
+
+    parcels = testdata_parcels_rings()
+    pdf = _strip_bytes(gen_images_pdf(11, 300))
+    images = spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
+    cover = build_parcel_cover_with_res(spark, parcels, RES)
+    want = {(i, c) for i, c, _ in brute_force_join(pdf, parcels, TESTDATA_BOX)}
+
+    # explicit prepare over the limit raises instead of collecting
+    with pytest.raises(CoverTooLargeError):
+        prepare_cover(cover, max_bytes=10)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = spatial_join(images, cover, TESTDATA_BOX, broadcast_max_bytes=10)
+        got = {(r.image_id, r.cad_number) for r in out.collect()}
+    assert got == want
+    assert any("falling back to shuffled join" in str(w.message) for w in caught)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert "MapInArrow" not in final_plan  # geometry rides the rows instead
+    assert "MapInPandas" in final_plan
+
+    # small covers keep the broadcast plan shape
+    out2 = spatial_join(images, cover, TESTDATA_BOX)
+    out2.collect()
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan2.split("== Initial Plan ==")[0]
