@@ -25,6 +25,10 @@ from rosreestr_xml_to_gis_converter_spark.queries_extra import (  # noqa: E402
     EXTRA_ORACLES,
     EXTRA_QUERIES,
 )
+from rosreestr_xml_to_gis_converter_spark.queries_ingest import (  # noqa: E402
+    INGEST_ORACLES,
+    INGEST_QUERIES,
+)
 from rosreestr_xml_to_gis_converter_spark.queries_ref import (  # noqa: E402
     REF_ORACLES,
     REF_QUERIES,
@@ -38,8 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**REF_QUERIES, **ENGINE_QUERIES, **EXTRA_QUERIES}
+    return {**REF_QUERIES, **ENGINE_QUERIES, **EXTRA_QUERIES, **INGEST_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**REF_ORACLES, **ENGINE_ORACLES, **EXTRA_ORACLES}
+    return {**REF_ORACLES, **ENGINE_ORACLES, **EXTRA_ORACLES, **INGEST_ORACLES}

@@ -55,6 +55,124 @@ def build_parcel_layer(
     return parcels, errors
 
 
+def rights_table(parcels: DataFrame) -> DataFrame:
+    """Parcel rows -> normalized per-right rows for the owner matrix
+    (operators/attrs.py).  KVZU rights carry codes (resolved against the
+    RIGHT classifier, real_estate.py:208), EGRN rights carry the label
+    text already (real_estate.py:1094-1096)."""
+    from rosreestr_xml_to_gis_converter_spark.classifiers import RIGHT, dim
+
+    r = parcels.select("doc_id", F.explode("rights").alias("r")).select(
+        "doc_id",
+        F.col("r.right_code").alias("right_code"),
+        F.col("r.right_type").alias("right_type_raw"),
+        F.col("r.owner").alias("owner"),
+        F.col("r.share_num").alias("share_num"),
+        F.col("r.share_den").cast("int").alias("share_den"),
+        F.col("r.share_text").alias("share_text"),
+    )
+    d = dim(parcels.sparkSession, RIGHT)
+    return (
+        r.join(F.broadcast(d), r.right_code == d.code, "left")
+        .select(
+            "doc_id",
+            F.coalesce("right_type_raw", "label").alias("right_type"),
+            "owner",
+            "share_num",
+            "share_den",
+            "share_text",
+        )
+    )
+
+
+_CLEANUP = r"^\s+|\n|\r|\s+$"  # main.py:356-367
+
+
+def finalize_attributes(parcels: DataFrame) -> DataFrame:
+    """Resolve classifier codes to the reference's output strings — the
+    J1 broadcast joins plus the coalesce fallback chains:
+
+    * status: EGRN text, else the STATUS classifier on the State code
+      (real_estate.py:123-133, :1019-1026);
+    * category: LAND_CATEGORY on the code, missing code -> the default
+      code 003008000000's label (:875-886); OCC stub '-' passes through;
+    * permitted_use: ByDoc text, else UTILIZATION code label, else '-'
+      (:888-902);
+    * address: Note, else region-classifier + district + locality
+      fallback concatenation (:824-858).
+
+    All pure Column expressions over one-time broadcast dims (the
+    reference re-reads the CSVs per object, real_estate.py:32-37).
+    """
+    from rosreestr_xml_to_gis_converter_spark.classifiers import (
+        LAND_CATEGORY,
+        REGION,
+        STATUS,
+        UTILIZATION,
+        dim,
+    )
+
+    spark = parcels.sparkSession
+    p = parcels
+    for col, mapping in (
+        ("status", STATUS),
+        ("category", LAND_CATEGORY),
+        ("permitted_use", UTILIZATION),
+        ("region", REGION),
+    ):
+        d = (
+            dim(spark, mapping)
+            .withColumnRenamed("code", f"_{col}_code")
+            .withColumnRenamed("label", f"_{col}_label")
+        )
+        p = p.join(
+            F.broadcast(d), p[f"{col}_code"] == d[f"_{col}_code"], "left"
+        ).drop(f"_{col}_code")
+
+    region_label = F.col("_region_label")
+    district = F.concat_ws(" ", F.col("district_name"), F.col("district_type"))
+    locality = F.concat_ws(" ", F.col("locality_type"), F.col("locality_name"))
+    addr_fallback = (
+        F.when(
+            region_label.isNotNull()
+            & F.col("district_name").isNotNull()
+            & F.col("locality_name").isNotNull(),
+            F.concat_ws(", ", region_label, district, locality),
+        )
+        .when(
+            region_label.isNotNull() & F.col("district_name").isNotNull(),
+            F.concat_ws(", ", region_label, district),
+        )
+        .when(region_label.isNotNull(), region_label)
+        .otherwise(F.lit(""))
+    )
+    address = F.coalesce(
+        F.when(F.col("address_note") != "", F.col("address_note")), addr_fallback
+    )
+    clean = lambda c: F.regexp_replace(c, _CLEANUP, "")  # noqa: E731
+    return (
+        p.withColumn("status", clean(F.coalesce("status", "_status_label", F.lit("-"))))
+        .withColumn(
+            "category",
+            F.when(F.col("category_code") == "-", F.lit("-")).otherwise(
+                F.coalesce(
+                    "_category_label", F.lit(LAND_CATEGORY["003008000000"])
+                )
+            ),
+        )
+        .withColumn(
+            "permitted_use",
+            clean(
+                F.coalesce(
+                    "permitted_use_by_doc", "_permitted_use_label", F.lit("-")
+                )
+            ),
+        )
+        .withColumn("address", clean(address))
+        .drop("_status_label", "_category_label", "_permitted_use_label", "_region_label")
+    )
+
+
 def explode_entry_parcels(parcels: DataFrame) -> DataFrame:
     """Composite parcels -> one attribute row per entry parcel, parent CN
     carried; simple parcels get a single row with '-'
@@ -74,10 +192,19 @@ def explode_entry_parcels(parcels: DataFrame) -> DataFrame:
 
 
 def contours_of(parcels: DataFrame) -> DataFrame:
-    return parcels.filter(F.col("geom").isNotNull()).select(
-        F.col("cad_number").alias("geom_key"),
-        F.col("doc_id"),
-        F.col("geom"),
+    """One row per contour — entry-parcel CN, 'parent(NumberRecord)', or
+    cad_number/number_pp/parent keys (real_estate.py:939-951,
+    :1612-1635); the reference writes one SHP record per contour
+    (main.py:382-406)."""
+    return parcels.select(
+        "doc_id",
+        F.col("cad_number").alias("parent_cad_number"),
+        F.explode("contours").alias("c"),
+    ).select(
+        F.col("c.geom_key").alias("geom_key"),
+        "doc_id",
+        F.col("c.geom").alias("geom"),
+        "parent_cad_number",
     )
 
 

@@ -1,0 +1,190 @@
+"""Driver-gate queries for the XML ingest breadth (round 2).
+
+Each query synthesizes reference-layout extract XML DETERMINISTICALLY
+from ``documents`` rows, parses it distributed (``parse_extracts``,
+the real ingest path), and emits scalar columns whose values DuckDB can
+recompute directly from the same base table — so the oracle checks the
+whole XML synth -> namespace-correct parse -> projection chain exactly,
+not just row counts.
+
+Reference parity exercised (file:line into /root/reference):
+* the full attribute set incl. DateCreatedDoc preference
+  (real_estate.py:706-715), Area/Area (:813-822), CadastralCost@Value
+  (:167-181), SpecialNote (:904-914), FootContent/ExtractDate (:684-695),
+  State attr (:123-133), Utilization@ByDoc (:888-902);
+* rights records -> normalized rights rows (:183-452);
+* multi-contour land_record -> one contour row per cad_number key
+  (:1612-1635).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rosreestr_xml_to_gis_converter_spark.pipeline import contours_of, rights_table
+from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import parse_extracts
+
+_N_DOCS = 300
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < _N_DOCS)
+        .select("doc_id", "n_chars")
+    )
+
+
+def _kvzu_corpus(docs: DataFrame) -> DataFrame:
+    """documents -> (path, content) KVZU extracts, all scalar values pure
+    functions of doc_id/n_chars (so DuckDB can recompute them)."""
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import kvzu_xml
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sq = np.array([[10.0, 50.0], [14.0, 50.0], [14.0, 54.0], [10.0, 54.0], [10.0, 50.0]])
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d = int(doc_id)
+                xml = kvzu_xml(
+                    f"69:10:{d // 100}:{d % 100}",
+                    [sq],
+                    area=str(n_chars),
+                    state=f"{d % 5:02d}",
+                    cadastral_cost=f"{d}.25",
+                    special_note=f"note-{d}",
+                    utilization_by_doc=f"use-{d % 7}",
+                    date_created="2020-05-17",
+                    date_created_doc="1999-12-31" if d % 3 == 0 else None,
+                    rights=[
+                        {
+                            "code": "001002000000",
+                            "owner": f"OWNER-{d}-{k}",
+                            "share": (str(k + 1), str((d % 9) + 2)),
+                        }
+                        for k in range(d % 3 + 1)
+                    ],
+                )
+                rows.append((f"doc-{d}.xml", xml.encode()))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return docs.mapInPandas(gen, schema="path string, content binary")
+
+
+def ingest_kvzu_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-attribute KVZU parse: every output value recomputable in SQL."""
+    parcels = parse_extracts(_kvzu_corpus(_docs(spark, sf_dir)))
+    return parcels.select(
+        "cad_number",
+        "area",
+        "status_code",
+        "category_code",
+        "permitted_use_by_doc",
+        "cadastral_cost",
+        "special_notes",
+        "extract_date",
+        "date_reg",
+        F.col("address_note").alias("address"),
+    )
+
+
+INGEST_KVZU_ATTRS_SQL = """
+SELECT '69:10:' || CAST(doc_id // 100 AS VARCHAR) || ':' || CAST(doc_id % 100 AS VARCHAR) AS cad_number,
+       CAST(n_chars AS VARCHAR) AS area,
+       lpad(CAST(doc_id % 5 AS VARCHAR), 2, '0') AS status_code,
+       '003001000000' AS category_code,
+       'use-' || CAST(doc_id % 7 AS VARCHAR) AS permitted_use_by_doc,
+       CAST(doc_id AS VARCHAR) || '.25' AS cadastral_cost,
+       'note-' || CAST(doc_id AS VARCHAR) AS special_notes,
+       '15.06.2023' AS extract_date,
+       CASE WHEN doc_id % 3 = 0 THEN '31.12.1999' ELSE '17.05.2020' END AS date_reg,
+       'обл. Тверская, р-н Калининский' AS address
+FROM documents WHERE doc_id < 300
+"""
+
+
+def ingest_rights_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML rights records -> normalized rights rows (the owner-matrix
+    input), values recomputable in SQL."""
+    parcels = parse_extracts(_kvzu_corpus(_docs(spark, sf_dir)))
+    return rights_table(parcels).select(
+        F.regexp_extract("doc_id", r"doc-(\d+)\.xml", 1).cast("long").alias("doc_id"),
+        "right_type",
+        "owner",
+        "share_num",
+        "share_den",
+        "share_text",
+    )
+
+
+INGEST_RIGHTS_SQL = """
+SELECT doc_id,
+       'Долевая собственность' AS right_type,
+       'OWNER-' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR) AS owner,
+       CAST(k + 1 AS VARCHAR) AS share_num,
+       CAST(doc_id % 9 + 2 AS INT) AS share_den,
+       CAST(k + 1 AS VARCHAR) || '/' || CAST(doc_id % 9 + 2 AS VARCHAR) AS share_text
+FROM documents, unnest(range(0, doc_id % 3 + 1)) AS t(k)
+WHERE doc_id < 300
+"""
+
+
+def ingest_multi_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-contour land_record extracts -> one row per contour key
+    (real_estate.py:1612-1635); keys recomputable in SQL."""
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import land_record_xml
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                cad = f"50:0:{d}"
+                n_cont = d % 3 + 1
+                xml = land_record_xml(
+                    cad,
+                    None,
+                    area=str(d * 10),
+                    contours={f"{cad}({i + 1})": [sq + 10.0 * i] for i in range(n_cont)},
+                )
+                rows.append((f"lr-{d}.xml", xml.encode()))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    files = _docs(spark, sf_dir).mapInPandas(gen, schema="path string, content binary")
+    ct = contours_of(parse_extracts(files))
+    return ct.select(
+        "geom_key",
+        "parent_cad_number",
+        F.isnotnull("geom").alias("has_geom"),
+    )
+
+
+INGEST_MULTI_CONTOUR_SQL = """
+SELECT '50:0:' || CAST(doc_id AS VARCHAR) || '(' || CAST(k + 1 AS VARCHAR) || ')' AS geom_key,
+       '50:0:' || CAST(doc_id AS VARCHAR) AS parent_cad_number,
+       TRUE AS has_geom
+FROM documents, unnest(range(0, doc_id % 3 + 1)) AS t(k)
+WHERE doc_id < 300
+"""
+
+
+INGEST_QUERIES = {
+    "ingest_kvzu_attrs": ingest_kvzu_attrs,
+    "ingest_rights_rows": ingest_rights_rows,
+    "ingest_multi_contour": ingest_multi_contour,
+}
+
+INGEST_ORACLES = {
+    "ingest_kvzu_attrs": INGEST_KVZU_ATTRS_SQL,
+    "ingest_rights_rows": INGEST_RIGHTS_SQL,
+    "ingest_multi_contour": INGEST_MULTI_CONTOUR_SQL,
+}
