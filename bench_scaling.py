@@ -52,20 +52,31 @@ from rosreestr_xml_to_gis_converter_spark.session import get_spark
 from rosreestr_xml_to_gis_converter_spark.operators.spatial_join import (
     build_parcel_cover, prepare_cover, spatial_join,
 )
-from rosreestr_xml_to_gis_converter_spark.synth import TESTDATA_BOX, testdata_parcels_rings
+from rosreestr_xml_to_gis_converter_spark.synth import TESTDATA_BOX, TESTDATA_PARCELS, testdata_parcels_rings
 
 cores = {cores}
 spark = get_spark("scaling", cores=cores, extra_conf={{
     "spark.sql.execution.arrow.maxRecordsPerBatch": "262144",
     "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
 }})
-cover = build_parcel_cover(spark, testdata_parcels_rings(), {res}).cache()
-cover.count()
-pc = prepare_cover(cover)
 img = spark.read.parquet({path!r})
+job_name = {job!r}
+if job_name == "join":
+    cover = build_parcel_cover(spark, testdata_parcels_rings(), {res}).cache()
+    cover.count()
+    pc = prepare_cover(cover)
 
-def job():
-    return spatial_join(img, pc, TESTDATA_BOX).count()
+    def job():
+        return spatial_join(img, pc, TESTDATA_BOX).count()
+else:  # knn: grid-disk candidate expansion + map-side top-k (operators/knn.py)
+    from rosreestr_xml_to_gis_converter_spark.operators.knn import knn_grid
+    centroids = spark.createDataFrame(
+        [(cad, (x0 + x1) / 2.0, (y0 + y1) / 2.0)
+         for cad, x0, y0, x1, y1 in TESTDATA_PARCELS],
+        schema="cad_number string, clon double, clat double")
+
+    def job():
+        return knn_grid(img, centroids, TESTDATA_BOX, k=3, res=5, disk=2).count()
 
 job(); job()  # warmup: codegen, broadcast, page cache, python workers
 times, pairs = [], 0
@@ -82,10 +93,10 @@ spark.stop()
 """
 
 
-def run_level(cores: int, path: str, reps: int, res: int) -> dict:
+def run_level(cores: int, path: str, reps: int, res: int, job: str = "join") -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
-    code = WORKER.format(repo=REPO, cores=cores, path=path, reps=reps, res=res)
+    code = WORKER.format(repo=REPO, cores=cores, path=path, reps=reps, res=res, job=job)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env,
         check=True, cwd=REPO,
@@ -99,6 +110,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--res", type=int, default=14)
     ap.add_argument("--levels", default="2,8", help="N,4N core counts")
+    ap.add_argument("--job", default="join", choices=["join", "knn"])
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -110,14 +122,15 @@ def main() -> None:
             check=True, cwd=REPO, env=dict(os.environ, SPARK_GRAFT_DRIVER_MEM="24g"),
         )
 
-    n = run_level(lo, path, args.reps, args.res)
-    n4 = run_level(hi, path, args.reps, args.res)
+    n = run_level(lo, path, args.reps, args.res, args.job)
+    n4 = run_level(hi, path, args.reps, args.res, args.job)
     efficiency = (n4["pairs_per_sec"] / n["pairs_per_sec"]) / (hi / lo)
     result = {
-        "metric": f"scaling_efficiency_{lo}_to_{hi}_cores",
+        "metric": f"scaling_efficiency_{args.job}_{lo}_to_{hi}_cores",
         "value": round(efficiency, 3),
         "unit": "ratio",
         "nrows": args.nrows,
+        "job": args.job,
         "n_lo": n,
         "n_hi": n4,
         "passes_north_rule": efficiency >= 0.8,

@@ -115,3 +115,98 @@ def owner_summary(rights: DataFrame, parcels: DataFrame) -> DataFrame:
         .otherwise(F.array_join("pairs", ", "))
     )
     return j.select("doc_id", owner.alias("owner"))
+
+
+def _lit_map(mapping: dict[str, str]) -> Column:
+    from pyspark.sql import functions as F
+
+    return F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+
+
+def with_rights_strings(parcels: DataFrame) -> DataFrame:
+    """Add the reference's three rights/encumbrance string columns from
+    the structured arrays — pure Column expressions (higher-order array
+    functions + literal classifier maps; the RIGHT/ENCUMBRANCE dims are
+    9/22 entries, well under literal-map size concerns):
+
+    * own_name_reg_numb_date (column I, real_estate.py:453-497 KVZU /
+      :1242-1270 EGRN): 'type №number от date' per right, '; '-joined,
+      '-' when empty;
+    * encumbrances_str (column J, :498-619 / :1272-1400): 'type holder'
+      deduped and joined;
+    * enc_name_reg_numb_date_duration (column K, :620-682 / :1402-1449):
+      'name №number от date, term' / 'docs, срок действия: term'.
+
+    Deliberate deviation (documented): entries are sorted for
+    determinism — the reference keeps XML document order, which has no
+    stable distributed equivalent.
+    """
+    from rosreestr_xml_to_gis_converter_spark.classifiers import ENCUMBRANCE, RIGHT
+
+    right_map = _lit_map(RIGHT)
+    enc_map = _lit_map(ENCUMBRANCE)
+
+    def rtype(r):
+        return F.coalesce(r["right_type"], F.element_at(right_map, r["right_code"]))
+
+    def own_entry(r):
+        return F.coalesce(
+            r["reg_name"],
+            F.when(
+                r["reg_number"].isNotNull(),
+                F.concat_ws(
+                    "",
+                    rtype(r),
+                    F.lit(" №"),
+                    r["reg_number"],
+                    F.when(r["reg_date"].isNotNull(), F.concat(F.lit(" от "), r["reg_date"])).otherwise(F.lit("")),
+                ),
+            ),
+            rtype(r),
+        )
+
+    def ename(e):
+        return F.coalesce(e["enc_name"], F.element_at(enc_map, e["enc_code"]))
+
+    def enc_entry(e):
+        return F.concat_ws(" ", ename(e), e["holder"])
+
+    def enc_nrd_entry(e):
+        return F.coalesce(
+            # KVZU style: 'doc1, doc2, срок действия: term' (:664-676)
+            F.when(
+                e["docs"].isNotNull() & e["term"].isNotNull(),
+                F.concat(F.array_join(e["docs"], ", "), F.lit(", срок действия: "), e["term"]),
+            ),
+            # EGRN style: 'name №number от date, term' (:1438-1443)
+            F.when(
+                e["reg_number"].isNotNull() & e["reg_date"].isNotNull() & e["term"].isNotNull(),
+                F.concat(
+                    ename(e), F.lit(" №"), e["reg_number"], F.lit(" от "), e["reg_date"],
+                    F.lit(", "), e["term"],
+                ),
+            ),
+            # GKN fallback: 'type №number от date' (:605-610)
+            F.when(
+                e["reg_number"].isNotNull() & e["reg_date"].isNotNull(),
+                F.concat(ename(e), F.lit(" №"), e["reg_number"], F.lit(" от "), e["reg_date"]),
+            ),
+        )
+
+    def joined(arr_col, fn, sep, default):
+        entries = F.filter(F.transform(arr_col, fn), lambda x: x.isNotNull())
+        return F.when(
+            arr_col.isNotNull() & (F.size(entries) > 0),
+            F.array_join(F.array_sort(F.array_distinct(entries)), sep),
+        ).otherwise(F.lit(default))
+
+    return (
+        parcels.withColumn(
+            "own_name_reg_numb_date", joined(F.col("rights"), own_entry, "; ", "-")
+        )
+        .withColumn("encumbrances_str", joined(F.col("encumbrances"), enc_entry, ", ", ""))
+        .withColumn(
+            "enc_name_reg_numb_date_duration",
+            joined(F.col("encumbrances"), enc_nrd_entry, "; ", "-"),
+        )
+    )

@@ -208,6 +208,149 @@ def contours_of(parcels: DataFrame) -> DataFrame:
     )
 
 
+def reference_output_rows(parcels: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Parsed parcels -> (xlsx_rows, shp_rows): the reference's two
+    denormalized outputs as DataFrames (main.py:379-454).
+
+    * xlsx_rows: one row per object, or one per entry parcel for
+      composite parcels with the parent CN in column B (main.py:416-454);
+    * shp_rows: one row per contour, key split into (CadNumber,
+      NumOfCont) by the '('/':'-branch logic (main.py:394-406), with the
+      parent CN blanked when equal (main.py:400-404).
+
+    All pure Column expressions; the sinks stream these with
+    ``toLocalIterator`` — the export is final-mile, the engine sink
+    stays parquet/Iceberg.
+    """
+    from rosreestr_xml_to_gis_converter_spark.operators.attrs import (
+        owner_summary,
+        with_rights_strings,
+    )
+
+    p = with_rights_strings(finalize_attributes(parcels))
+    own = owner_summary(
+        rights_table(p), p.select("doc_id", "category", "district_name")
+    ).withColumnRenamed("owner", "owner_str")
+    p = p.join(own, "doc_id", "left")
+    estate = F.coalesce(F.array_join("estate_objects", ", "), F.lit(""))
+    common = [
+        F.col("area"),
+        F.col("address"),
+        F.col("status"),
+        F.col("category"),
+        F.col("permitted_use"),
+        F.coalesce("owner_str", F.lit("")).alias("owner"),
+        F.col("own_name_reg_numb_date"),
+        F.col("encumbrances_str"),
+        F.col("enc_name_reg_numb_date_duration"),
+        F.coalesce(F.regexp_replace("special_notes", _CLEANUP, ""), F.lit("")).alias(
+            "special"
+        ),
+        F.col("date_reg"),
+        F.col("extract_date"),
+        estate.alias("estate_objects_str"),
+        F.coalesce("cadastral_cost", F.lit("")).alias("cadastral_cost"),
+        F.col("obj_type"),
+    ]
+    entry = F.explode_outer("entry_parcels").alias("entry_cn")
+    xlsx_rows = p.select(F.col("cad_number").alias("parent_cn"), entry, *common).select(
+        F.coalesce(F.col("entry_cn"), F.col("parent_cn")).alias("cad_number"),
+        F.when(F.col("entry_cn").isNotNull(), F.col("parent_cn"))
+        .otherwise(F.lit("-"))
+        .alias("parent_cad_number"),
+        *[c if isinstance(c, str) else c for c in [
+            "area", "address", "status", "category", "permitted_use", "owner",
+            "own_name_reg_numb_date", "encumbrances_str",
+            "enc_name_reg_numb_date_duration", "special", "date_reg",
+            "extract_date", "estate_objects_str", "cadastral_cost", "obj_type",
+        ]],
+    )
+
+    ct = p.select(
+        F.col("cad_number").alias("parent_cn"), F.explode("contours").alias("c"), *common
+    )
+    key = F.col("c.geom_key")
+    paren = F.instr(key, "(")
+    # main.py:394-406 key-splitting branches
+    shp_cad = (
+        F.when(paren > 0, F.substring(key, F.lit(1), paren - 1))
+        .when(~key.contains(":"), F.col("parent_cn"))
+        .otherwise(key)
+    )
+    num_of_cont = (
+        F.when(paren > 0, F.substr(key, paren))
+        .when(~key.contains(":"), key)
+        .otherwise(F.lit(""))
+    )
+    shp_rows = ct.select(
+        shp_cad.alias("cad_number"),
+        F.when(F.col("parent_cn") == shp_cad, F.lit(""))
+        .otherwise(F.col("parent_cn"))
+        .alias("parent_cad_number"),
+        num_of_cont.alias("num_of_cont"),
+        *[
+            "area", "address", "status", "category", "permitted_use", "owner",
+            "own_name_reg_numb_date", "encumbrances_str",
+            "enc_name_reg_numb_date_duration", "special", "date_reg",
+            "extract_date", "estate_objects_str", "cadastral_cost", "obj_type",
+        ],
+        F.col("c.geom").alias("geom"),
+    )
+    return xlsx_rows, shp_rows
+
+
+def _ru_date(s: str | None):
+    """dd.mm.yyyy -> datetime.date with the (1,1,1) default
+    (main.py:384-393)."""
+    import datetime
+
+    if not s:
+        return datetime.date(1, 1, 1)
+    d, m, y = s.split(".")
+    return datetime.date(int(y), int(m), int(d))
+
+
+def export_outputs(parcels: DataFrame, out_dir: str, base_name: str = "real_estate_objects_EGRN") -> dict:
+    """Final-mile export: SHP (K1) + XLSX (K2) from the parsed layer —
+    the reference's two sinks (main.py:250-342), streamed driver-side."""
+    import os
+
+    from rosreestr_xml_to_gis_converter_spark.functions.geometry import unpack_rings
+    from rosreestr_xml_to_gis_converter_spark.sinks import write_shapefile, write_xlsx
+
+    os.makedirs(out_dir, exist_ok=True)
+    xlsx_rows, shp_rows = reference_output_rows(parcels)
+
+    def shp_records():
+        for r in shp_rows.filter(F.col("geom").isNotNull()).toLocalIterator():
+            rings = unpack_rings(r.geom)
+            attrs = [
+                r.cad_number, r.parent_cad_number, r.num_of_cont,
+                float(r.area) if r.area else 0.0,
+                r.address, r.status, r.category, r.permitted_use, r.owner,
+                r.own_name_reg_numb_date, r.encumbrances_str,
+                r.enc_name_reg_numb_date_duration, r.special,
+                _ru_date(r.date_reg), _ru_date(r.extract_date),
+                r.estate_objects_str, r.cadastral_cost, r.obj_type,
+            ]
+            yield rings, attrs
+
+    n_shp = write_shapefile(os.path.join(out_dir, base_name), shp_records())
+
+    def xlsx_data():
+        for r in xlsx_rows.toLocalIterator():
+            yield [
+                r.cad_number, r.parent_cad_number, r.area, r.address, r.status,
+                r.category, r.permitted_use, r.owner, r.own_name_reg_numb_date,
+                r.encumbrances_str, r.enc_name_reg_numb_date_duration, r.special,
+                r.date_reg, r.extract_date, r.estate_objects_str,
+                r.cadastral_cost, r.obj_type,
+            ]
+
+    n_xlsx = write_xlsx(os.path.join(out_dir, base_name + ".xlsx"), xlsx_data())
+    return {"n_shp_records": n_shp, "n_xlsx_rows": n_xlsx}
+
+
 def convert_extracts(
     spark: SparkSession,
     files: DataFrame,

@@ -485,6 +485,77 @@ FROM documents
 """
 
 
+# --- planted-twin recall gates ------------------------------------------------
+# The organic LSH queries above can legitimately return ~0 rows on the
+# driver's synthetic corpus, which certifies nothing (VERDICT round 1).
+# These variants UNION the input with exact twins (id + _TWIN_OFFSET) and
+# filter the pair output to the planted ids — banded LSH finds an exact
+# twin with certainty (identical signature -> identical band keys), so
+# every planted pair MUST surface with similarity exactly 1.0, which
+# DuckDB can state directly.  A recall regression breaks the hash match.
+
+_TWIN_OFFSET = 100000
+
+
+def _with_twins(df: DataFrame, id_col: str) -> DataFrame:
+    return df.unionByName(df.withColumn(id_col, F.col(id_col) + _TWIN_OFFSET))
+
+
+def dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _NGRAM_DOC_LIMIT)
+        .select("doc_id", "text")
+    )
+    pairs = dedupe.minhash_lsh_pairs(
+        _with_twins(d, "doc_id"), threshold=_JACCARD_THRESHOLD, n_hashes=16, bands=8
+    )
+    return pairs.filter(
+        (F.col("id_b") - F.col("id_a") == _TWIN_OFFSET) & (F.col("id_a") < _TWIN_OFFSET)
+    )
+
+
+DEDUP_MINHASH_PLANTED_SQL = f"""
+SELECT doc_id AS id_a, doc_id + {_TWIN_OFFSET} AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM documents
+WHERE doc_id < {_NGRAM_DOC_LIMIT}
+  AND len(string_split(lower(text), ' ')) >= 3
+"""
+
+
+def dedup_embedding_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pairs = similarity.embedding_near_dup_pairs(
+        _with_twins(e, "vec_id"), threshold=0.99, dim=64
+    )
+    return pairs.filter(
+        (F.col("id_b") - F.col("id_a") == _TWIN_OFFSET) & (F.col("id_a") < _TWIN_OFFSET)
+    )
+
+
+DEDUP_EMBEDDING_PLANTED_SQL = f"""
+SELECT vec_id AS id_a, vec_id + {_TWIN_OFFSET} AS id_b, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings
+"""
+
+
+def sim_ann_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each query's exact twin must surface at rank 1 with cosine 1.0:
+    cosine 1.0 strictly dominates every organic candidate, and the twin
+    shares the query's full LSH signature, so multi-probe always finds it."""
+    emb = _with_twins(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "vec_id")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = similarity.lsh_topk(emb, q, k=_TOPK, dim=64)
+    return out.filter(F.col("cand_id") == F.col("query_id") + _TWIN_OFFSET)
+
+
+SIM_ANN_LSH_PLANTED_SQL = f"""
+SELECT vec_id AS query_id, vec_id + {_TWIN_OFFSET} AS cand_id,
+       CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
 ENGINE_QUERIES = {
     "cell_encode": cell_encode,
     "flagship_spatial_join": flagship_spatial_join,
@@ -501,10 +572,13 @@ ENGINE_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_planted": dedup_minhash_planted,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_planted": dedup_embedding_planted,
     "sim_ann_cosine": sim_ann_cosine,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_lsh_planted": sim_ann_lsh_planted,
     "text_langid": text_langid,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -525,7 +599,10 @@ ENGINE_ORACLES = {
     "stream_window_counts": STREAM_WINDOW_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_minhash_planted": DEDUP_MINHASH_PLANTED_SQL,
+    "dedup_embedding_planted": DEDUP_EMBEDDING_PLANTED_SQL,
     "sim_ann_cosine": SIM_COSINE_SQL,
+    "sim_ann_lsh_planted": SIM_ANN_LSH_PLANTED_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
