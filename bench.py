@@ -44,10 +44,12 @@ def main() -> None:
     from rosreestr_xml_to_gis_converter_spark.queries_engine import (
         JOIN_RES,
         dedup_minhash_lsh,
+        dedup_minhash_planted,
         flagship_spatial_join,
         knn_parcels,
         sim_ann_cosine,
     )
+    from rosreestr_xml_to_gis_converter_spark.queries_ingest import ingest_kvzu_attrs
     from rosreestr_xml_to_gis_converter_spark.queries_ref import (
         a1_owner_agg,
         g4_lww_upsert,
@@ -87,7 +89,11 @@ def main() -> None:
     run("a1_owner_agg", lambda: a1_owner_agg(spark, sf_dir))
     run("g4_lww_upsert", lambda: g4_lww_upsert(spark, sf_dir))
     run("dedup_minhash_lsh", lambda: dedup_minhash_lsh(spark, sf_dir))
+    # planted-twin variant: nonzero row count by construction (recall gate)
+    run("dedup_minhash_planted", lambda: dedup_minhash_planted(spark, sf_dir))
     run("sim_ann_cosine", lambda: sim_ann_cosine(spark, sf_dir))
+    # XML ingest path: synth -> namespace-correct parse -> full projection
+    run("ingest_kvzu_attrs", lambda: ingest_kvzu_attrs(spark, sf_dir))
 
     # corpus-scale LSH dedup over the whole documents table
     from rosreestr_xml_to_gis_converter_spark.operators.dedupe import (

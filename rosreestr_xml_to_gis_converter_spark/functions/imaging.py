@@ -140,7 +140,13 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
-        return decode_fake_jpeg(data)
+        # round 2: real baseline JPEG codec (functions/jpeg.py); FJPG
+        # accepted on decode for payloads produced by the round-1 stub
+        if data[:4] == _FJPG_SIG:
+            return decode_fake_jpeg(data)
+        from rosreestr_xml_to_gis_converter_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(f"unsupported image format: {fmt!r}")
 
 
@@ -148,7 +154,9 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(arr)
     if fmt == "jpeg":
-        return encode_fake_jpeg(arr)
+        from rosreestr_xml_to_gis_converter_spark.functions.jpeg import encode_jpeg
+
+        return encode_jpeg(arr)
     raise NotImplementedError(f"unsupported image format: {fmt!r}")
 
 

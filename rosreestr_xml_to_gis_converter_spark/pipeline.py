@@ -132,7 +132,21 @@ def finalize_attributes(parcels: DataFrame) -> DataFrame:
     region_label = F.col("_region_label")
     district = F.concat_ws(" ", F.col("district_name"), F.col("district_type"))
     locality = F.concat_ws(" ", F.col("locality_type"), F.col("locality_name"))
-    addr_fallback = (
+    # OCC long-tail fallback (real_estate.py:1721-1753): region label (or
+    # the reference's leading-'' quirk) + ', part' for each present part
+    occ_tail = F.when(
+        F.col("address_parts").isNotNull(),
+        F.concat(
+            F.coalesce(region_label, F.lit("")),
+            F.aggregate(
+                F.col("address_parts"),
+                F.lit(""),
+                lambda acc, p: F.concat(acc, F.lit(", "), p),
+            ),
+        ),
+    )
+    addr_fallback = F.coalesce(
+        occ_tail,
         F.when(
             region_label.isNotNull()
             & F.col("district_name").isNotNull()

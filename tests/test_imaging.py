@@ -4,6 +4,7 @@ lossless round-trip exact; lossy PSNR >= 40 dB; caption byte-equality."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from rosreestr_xml_to_gis_converter_spark.functions.imaging import (
     decode_image,
@@ -94,3 +95,97 @@ def test_gen_images_deterministic_and_decodable():
         else:
             assert psnr(decode_image(row["bytes"], "jpeg"), arr) == float("inf")
     assert a["caption"].str.contains("parcel photo").all()
+
+
+# --- real baseline JPEG codec (round 2, functions/jpeg.py) -------------------
+
+def test_real_jpeg_roundtrip_psnr_and_structure():
+    """encode_jpeg emits a structurally valid baseline JFIF stream
+    (SOI/APP0/DQT/SOF0/DHT/SOS/EOI) and the round trip clears the 40 dB
+    gate on the photo-like fixture family."""
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = gen_image_array(rng, 64, 48)
+    data = encode_jpeg(arr, quality=95)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data[:24]
+    assert b"\xff\xc0" in data  # SOF0: baseline
+    out = decode_jpeg(data)
+    assert out.shape == arr.shape
+    assert psnr(arr, out) >= 40.0
+
+
+def test_real_jpeg_odd_dimensions_and_flat():
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(12)
+    arr = gen_image_array(rng, 61, 45)  # not multiples of 8
+    out = decode_jpeg(encode_jpeg(arr, 90))
+    assert out.shape == (45, 61, 3)
+    assert psnr(arr, out) >= 40.0
+    flat = np.full((24, 24, 3), 137, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 90)), flat)
+
+
+def test_real_jpeg_reencode_idempotent():
+    """Second-generation loss is zero at equal quality (the validate
+    gate in operators/imaging_ops.py relies on this)."""
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(13)
+    d1 = decode_jpeg(encode_jpeg(gen_image_array(rng, 40, 40), 90))
+    d2 = decode_jpeg(encode_jpeg(d1, 90))
+    assert psnr(d1, d2) == float("inf")
+
+
+def test_real_jpeg_quality_monotonic():
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(14)
+    arr = gen_image_array(rng, 64, 64)
+    p = [psnr(arr, decode_jpeg(encode_jpeg(arr, q))) for q in (50, 75, 90, 95)]
+    assert p == sorted(p)  # higher quality -> higher fidelity
+    sizes = [len(encode_jpeg(arr, q)) for q in (50, 75, 90, 95)]
+    assert sizes == sorted(sizes)  # ...and bigger files
+
+
+def test_fjpg_stub_payloads_still_decode():
+    """Backward compat: round-1 FJPG payloads route through the stub
+    decoder; new encodes are real JPEG bitstreams."""
+    rng = np.random.default_rng(15)
+    arr = gen_image_array(rng, 32, 32)
+    old = encode_fake_jpeg(arr)
+    assert decode_image(old, "jpeg").shape == arr.shape
+    from rosreestr_xml_to_gis_converter_spark.functions.imaging import encode_image
+
+    new = encode_image(arr, "jpeg")
+    assert new[:2] == b"\xff\xd8" and new[:4] != b"FJPG"
+
+
+def test_real_jpeg_rejects_non_baseline():
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    # progressive SOF2 is a guarded boundary, not a wrong answer
+    rng = np.random.default_rng(16)
+    data = bytearray(encode_jpeg(gen_image_array(rng, 16, 16), 90))
+    data[data.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(data))

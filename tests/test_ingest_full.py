@@ -288,3 +288,25 @@ def test_multi_entity_accumulated_quirk():
     assert len(rings) == 1
     assert {p[0] for p in rings[0]} == {110.0, 114.0}  # later entity's points
     assert gauss_area(rings[0]) < 0  # span key > 0 -> hole orientation
+
+
+def test_occ_address_fragments_long_tail(spark):
+    """OCC address fallback long tail (real_estate.py:1721-1753): ordered
+    District/City/Street/Level fragments captured and concatenated after
+    the region classifier label in finalize_attributes."""
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import kvoks_xml
+
+    xml = kvoks_xml("69:40:X:1", [SQ], address="x")
+    xml = xml.replace(
+        "<adrs:Note>x</adrs:Note>",
+        '<adrs:Region>69</adrs:Region>'
+        '<adrs:District Name="Калининский" Type="р-н"/>'
+        '<adrs:City Type="г" Name="Тверь"/>'
+        '<adrs:Street Name="Советская" Type="ул"/>'
+        '<adrs:Level1 Type="д" Value="5"/>',
+    )
+    files = _files(spark, [("o.xml", xml)])
+    row = finalize_attributes(parse_extracts(files)).select("address").first()
+    assert row.address == (
+        REGION["69"] + ", Калининский р-н, г Тверь, Советская ул, д 5"
+    )
