@@ -113,7 +113,88 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return images.mapInPandas(batches, schema=IMAGES_SCHEMA)
 
 
-# --- video: deterministic fake container (no video codec in this env) -------
+# --- video -------------------------------------------------------------------
+#
+# Round 2: the REAL container is raw MJPEG — a concatenated sequence of
+# baseline JPEG frames (what ffmpeg reads/writes as `.mjpeg`), each frame
+# produced by the real codec in functions/jpeg.py.  Frame boundaries are
+# found by scanning SOI/EOI markers (EOI cannot appear unescaped inside
+# entropy data), so frame-sampling SEEKS: unsampled frames are never
+# entropy-decoded — the property that matters when sampling 1-of-N frames
+# from 10^12 videos.  The round-1 FVID stub still decodes for compat.
+
+_SOI = b"\xff\xd8"
+_EOI = b"\xff\xd9"
+
+
+def encode_mjpeg(frames: np.ndarray, quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 -> raw MJPEG bytes (concatenated JPEG frames)."""
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import encode_jpeg
+
+    return b"".join(encode_jpeg(f, quality) for f in frames)
+
+
+def _jpeg_frame_end(data: bytes, start: int) -> int:
+    """Walk one JPEG's marker structure from its SOI; return the byte
+    after its EOI.  A true marker walk (not a raw EOI byte search): the
+    two-byte sequence ff d9 can legitimately occur inside DQT/DHT
+    payloads, so segment lengths must be honored."""
+    p = start + 2
+    n = len(data)
+    while p < n - 1:
+        if data[p] != 0xFF:
+            raise ValueError(f"MJPEG: expected marker at byte {p}")
+        m = data[p + 1]
+        if m == 0xD9:
+            return p + 2
+        if m in (0x01,) or 0xD0 <= m <= 0xD8:
+            p += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[p + 2 : p + 4])
+        p += 2 + seglen
+        if m == 0xDA:  # SOS: scan entropy data for the next real marker
+            while p < n - 1:
+                if data[p] != 0xFF:
+                    p += 1
+                elif data[p + 1] == 0x00 or 0xD0 <= data[p + 1] <= 0xD7:
+                    p += 2  # stuffed byte / restart marker
+                else:
+                    break
+    raise ValueError("MJPEG: no EOI found")
+
+
+def mjpeg_frame_spans(data: bytes) -> list[tuple[int, int]]:
+    """Frame (start, end) byte spans — marker scan only, no pixel work."""
+    spans = []
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 2] != _SOI:
+            raise ValueError(f"MJPEG: expected SOI at byte {pos}")
+        end = _jpeg_frame_end(data, pos)
+        spans.append((pos, end))
+        pos = end
+    return spans
+
+
+def decode_mjpeg(data: bytes, indices: list[int] | None = None) -> np.ndarray:
+    """Raw MJPEG -> (n, h, w, 3); ``indices`` decodes only those frames
+    (others are skipped at the marker level)."""
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import decode_jpeg
+
+    spans = mjpeg_frame_spans(data)
+    take = range(len(spans)) if indices is None else indices
+    return np.stack([decode_jpeg(data[spans[i][0] : spans[i][1]]) for i in take])
+
+
+def decode_video(data: bytes) -> np.ndarray:
+    if data[:4] == _FVID_SIG:
+        return decode_fake_video(data)
+    if data[:2] == _SOI:
+        return decode_mjpeg(data)
+    raise NotImplementedError(
+        "unsupported video container (raw MJPEG and the FVID stub are supported)"
+    )
+
 
 _FVID_SIG = b"FVID"
 
@@ -143,16 +224,28 @@ FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, bytes binary, w int, h in
 
 def sample_frames(videos: DataFrame, every_k: int) -> DataFrame:
     """Frame-sample a video binary column: every k-th frame re-encoded as
-    PNG.  ``videos``: (video_id string, bytes binary)."""
+    PNG.  ``videos``: (video_id string, bytes binary).
+
+    MJPEG videos are sampled with a marker-level seek: unsampled frames
+    are never entropy-decoded (decode_mjpeg(indices=...)), so the cost is
+    proportional to frames KEPT, not frames stored."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                frames = decode_fake_video(r.bytes)
-                for idx in range(0, len(frames), every_k):
-                    png = encode_image(frames[idx], "png")
-                    rows.append((r.video_id, idx, png, frames.shape[2], frames.shape[1]))
+                data = bytes(r.bytes)
+                if data[:2] == _SOI:
+                    n = len(mjpeg_frame_spans(data))
+                    idxs = list(range(0, n, every_k))
+                    frames = decode_mjpeg(data, idxs)
+                else:
+                    all_frames = decode_fake_video(data)
+                    idxs = list(range(0, len(all_frames), every_k))
+                    frames = all_frames[idxs]
+                for idx, frame in zip(idxs, frames):
+                    png = encode_image(frame, "png")
+                    rows.append((r.video_id, idx, png, frame.shape[1], frame.shape[0]))
             yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "bytes", "w", "h"])
 
     return videos.mapInPandas(batches, schema=FRAME_SAMPLE_SCHEMA)

@@ -55,6 +55,35 @@ def build_parcel_layer(
     return parcels, errors
 
 
+def rename_plan(parcels: DataFrame, order_col: str = "doc_id") -> DataFrame:
+    """EP2 (``rename_xml``, /root/reference/main.py:177-225) as a
+    declarative transform: derived file name
+    ``{cad ':'->'-'}---{extract_date '.'->'-'}.xml`` with the reference's
+    `` (2)``..`` (n)`` collision suffixes (the reference probes the
+    filesystem serially; a window rank is the distributed equivalent).
+    Unsupported documents (error rows) get no new name, mirroring the
+    reference's skip counter."""
+    key = F.concat(
+        F.regexp_replace(F.coalesce("cad_number", F.lit("")), ":", "-"),
+        F.lit("---"),
+        F.regexp_replace(F.coalesce("extract_date", F.lit("")), r"\.", "-"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(order_col)
+    rn = F.row_number().over(w)
+    new_name = F.when(
+        F.col("error").isNotNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.when(rn == 1, F.concat(key, F.lit(".xml"))).otherwise(
+            F.concat(key, F.lit(" ("), rn.cast("string"), F.lit(")"), F.lit(".xml"))
+        )
+    )
+    return parcels.select(
+        F.col("doc_id").alias("path"), new_name.alias("new_name")
+    )
+
+
 def rights_table(parcels: DataFrame) -> DataFrame:
     """Parcel rows -> normalized per-right rows for the owner matrix
     (operators/attrs.py).  KVZU rights carry codes (resolved against the

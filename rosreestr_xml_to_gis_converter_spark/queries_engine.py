@@ -318,6 +318,62 @@ def image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(gen_images_df(spark, seed=42, n=60))
 
 
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MJPEG videos (concatenated baseline JPEG frames, synthesized
+    deterministically from documents rows) -> every-2nd-frame sample via
+    the marker-level seek path; frame indices/dims and the decoded pixel
+    value are all recomputable in SQL."""
+    import numpy as np
+
+    from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import (
+        encode_mjpeg,
+        sample_frames,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 5 + 3
+                frames = np.stack(
+                    [
+                        np.full((16, 16, 3), (d * 13 + i * 29) % 256, np.uint8)
+                        for i in range(n)
+                    ]
+                )
+                rows.append((f"vid-{d}", encode_mjpeg(frames, 90)))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    videos = docs.mapInPandas(gen, "video_id string, bytes binary")
+    out = sample_frames(videos, every_k=2)
+
+    # decode the sampled PNG back to prove pixel fidelity (flat frames
+    # survive the JPEG round trip exactly)
+    def px(it):
+        from rosreestr_xml_to_gis_converter_spark.functions.imaging import decode_png
+
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["px"] = [int(decode_png(b)[0, 0, 0]) for b in pdf["bytes"]]
+            yield pdf[["video_id", "frame_idx", "w", "h", "px"]]
+
+    return out.mapInPandas(px, "video_id string, frame_idx int, w int, h int, px int")
+
+
+VIDEO_FRAME_SAMPLE_SQL = """
+SELECT 'vid-' || CAST(doc_id AS VARCHAR) AS video_id,
+       CAST(k AS INT) AS frame_idx, 16 AS w, 16 AS h,
+       CAST((doc_id * 13 + k * 29) % 256 AS INT) AS px
+FROM documents, unnest(range(0, doc_id % 5 + 3, 2)) AS t(k)
+WHERE doc_id < 100
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedupe.exact_dedup(load(spark, sf_dir, "documents"))
 
@@ -569,6 +625,7 @@ ENGINE_QUERIES = {
     "tile_masks": tile_masks_q,
     "image_validate": image_validate_q,
     "image_features": image_features_q,
+    "video_frame_sample": video_frame_sample,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -597,6 +654,7 @@ ENGINE_ORACLES = {
     "knn_parcels_literal": KNN_LITERAL_SQL,
     "a1_owner_matrix": A1_OWNER_MATRIX_SQL,
     "stream_window_counts": STREAM_WINDOW_SQL,
+    "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_planted": DEDUP_MINHASH_PLANTED_SQL,

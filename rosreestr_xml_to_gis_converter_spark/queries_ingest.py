@@ -228,7 +228,51 @@ FROM documents WHERE doc_id < 300
 """
 
 
+def ingest_rename_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 rename (main.py:177-225) end-to-end from XML: colliding
+    cadastral numbers get the reference's ' (2)'..' (n)' suffixes; the
+    derived names are recomputable in SQL."""
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import kvzu_xml
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+        for pdf in it:
+            rows = [
+                (f"doc-{int(d)}.xml", kvzu_xml(f"69:77:0:{int(d) % 50}", [sq]).encode())
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    from rosreestr_xml_to_gis_converter_spark.pipeline import rename_plan
+
+    files = _docs(spark, sf_dir).mapInPandas(gen, schema="path string, content binary")
+    parcels = parse_extracts(files).withColumn(
+        "_ord", F.regexp_extract("doc_id", r"doc-(\d+)\.xml", 1).cast("long")
+    )
+    out = rename_plan(parcels, "_ord")
+    return out.select(
+        F.regexp_extract("path", r"doc-(\d+)\.xml", 1).cast("long").alias("doc_id"),
+        "new_name",
+    )
+
+
+INGEST_RENAME_SQL = """
+SELECT doc_id,
+       '69-77-0-' || CAST(doc_id % 50 AS VARCHAR) || '---15-06-2023'
+       || CASE WHEN rn = 1 THEN '' ELSE ' (' || CAST(rn AS VARCHAR) || ')' END
+       || '.xml' AS new_name
+FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id < 300
+)
+"""
+
+
 INGEST_QUERIES = {
+    "ingest_rename_plan": ingest_rename_plan,
     "ingest_kvzu_attrs": ingest_kvzu_attrs,
     "ingest_rights_rows": ingest_rights_rows,
     "ingest_multi_contour": ingest_multi_contour,
@@ -236,6 +280,7 @@ INGEST_QUERIES = {
 }
 
 INGEST_ORACLES = {
+    "ingest_rename_plan": INGEST_RENAME_SQL,
     "ingest_owner_strings": INGEST_OWNER_STRINGS_SQL,
     "ingest_kvzu_attrs": INGEST_KVZU_ATTRS_SQL,
     "ingest_rights_rows": INGEST_RIGHTS_SQL,

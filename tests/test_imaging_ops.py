@@ -64,3 +64,50 @@ def test_sample_frames_stub_container(spark):
     assert (out["w"] == 16).all() and (out["h"] == 12).all()
     got0 = decode_png(out.iloc[0]["bytes"])
     assert np.array_equal(got0, frames[0])
+
+
+def test_mjpeg_container_roundtrip_and_seek(spark):
+    """Real MJPEG video (concatenated baseline JPEGs): frame spans found
+    by marker walk, frame sampling decodes ONLY the kept frames, PNG
+    re-encode through the Spark pipeline preserves content."""
+    import numpy as np
+
+    from rosreestr_xml_to_gis_converter_spark.functions.imaging import decode_png
+    from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import (
+        decode_mjpeg,
+        encode_mjpeg,
+        mjpeg_frame_spans,
+        sample_frames,
+    )
+
+    frames = np.stack([np.full((16, 16, 3), 20 * i + 7, np.uint8) for i in range(9)])
+    data = encode_mjpeg(frames, 90)
+    assert len(mjpeg_frame_spans(data)) == 9
+    np.testing.assert_array_equal(decode_mjpeg(data), frames)  # flat = exact
+    sel = decode_mjpeg(data, [0, 4, 8])
+    np.testing.assert_array_equal(sel, frames[[0, 4, 8]])
+
+    videos = spark.createDataFrame([("v1", bytearray(data))], "video_id string, bytes binary")
+    out = sample_frames(videos, every_k=4).collect()
+    assert [(r.frame_idx, r.w, r.h) for r in sorted(out, key=lambda r: r.frame_idx)] == [
+        (0, 16, 16), (4, 16, 16), (8, 16, 16)
+    ]
+    for r in out:
+        np.testing.assert_array_equal(decode_png(bytes(r.bytes)), frames[r.frame_idx])
+
+
+def test_fvid_stub_still_sampled(spark):
+    """Round-1 FVID payloads keep working through the same operator."""
+    import numpy as np
+
+    from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import (
+        encode_fake_video,
+        sample_frames,
+    )
+
+    frames = np.stack([np.full((8, 8, 3), i, np.uint8) for i in range(5)])
+    videos = spark.createDataFrame(
+        [("v1", bytearray(encode_fake_video(frames)))], "video_id string, bytes binary"
+    )
+    out = sample_frames(videos, every_k=2).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 2, 4]

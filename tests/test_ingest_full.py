@@ -310,3 +310,25 @@ def test_occ_address_fragments_long_tail(spark):
     assert row.address == (
         REGION["69"] + ", Калининский р-н, г Тверь, Советская ул, д 5"
     )
+
+
+def test_rename_plan_collision_suffixes(spark):
+    """EP2 rename (main.py:177-225): '{cad :->-}---{date .->-}.xml' with
+    ' (2)'..' (n)' collision suffixes; unsupported docs get no name."""
+    from rosreestr_xml_to_gis_converter_spark.pipeline import rename_plan
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import unsupported_xml
+
+    docs = [
+        (f"f{i}.xml", kvzu_xml("69:1:1:7" if i < 3 else f"69:1:1:{i}", [SQ]))
+        for i in range(5)
+    ]
+    docs.append(("bad.xml", unsupported_xml()))
+    out = {
+        r.path: r.new_name
+        for r in rename_plan(parse_extracts(_files(spark, docs)), "doc_id").collect()
+    }
+    assert out["f0.xml"] == "69-1-1-7---15-06-2023.xml"
+    assert out["f1.xml"] == "69-1-1-7---15-06-2023 (2).xml"
+    assert out["f2.xml"] == "69-1-1-7---15-06-2023 (3).xml"
+    assert out["f3.xml"] == "69-1-1-3---15-06-2023.xml"
+    assert out["bad.xml"] is None
