@@ -62,3 +62,39 @@ class Catalog:
         if self.use_iceberg:  # pragma: no cover
             return self.spark.catalog.tableExists(f"local.{table}")
         return os.path.exists(self._path(table))
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Write a BUCKETED table (Hive layout parquet; Iceberg maps this
+        to a bucket partition transform).
+
+        The 100 TB design move this enables: two tables bucketed the same
+        way on the join key (e.g. images and parcel covers on ``cell``)
+        equi-join with NO shuffle of either side — SortMergeJoin reads
+        bucket i of both tables on the same executor.  At a 10^12-row
+        image table that deletes the single largest cost of the flagship
+        join; the shuffle is paid once at write time and amortized over
+        every subsequent join, which is the right trade for a layer that
+        is written once and joined daily.  Plan-shape test:
+        tests/test_plans.py asserts zero Exchange operators.
+        """
+        w = (
+            df.write.mode(mode)
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        # bucketBy requires saveAsTable (metastore records the bucket spec)
+        w.option("path", self._path(table)).saveAsTable(table)
+
+    def read_table(self, table: str) -> DataFrame:
+        """Read a metastore-registered (bucketed) table by name."""
+        return self.spark.read.table(table)

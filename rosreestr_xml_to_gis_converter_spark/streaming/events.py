@@ -103,6 +103,44 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_lww_upsert(events: DataFrame) -> DataFrame:
+    """G4's streaming twin: last-writer-wins upsert per key
+    (real_estate.py:781-782 applies dict.update per entity; the batch
+    realization is the row_number window in queries_ref.g4_lww_upsert).
+
+    Custom stateful operator (``applyInPandasWithState``): state holds
+    the current winner (ts, event_id, event_type) per user; each
+    micro-batch emits the updated winner for every key it touched.
+    Ordering matches the batch twin: (ts DESC, event_id DESC).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, event_id long, event_type string, ts timestamp"
+    state_schema = "ts timestamp, event_id long, event_type string"
+
+    def update(key, pdfs, state: GroupState):
+        best = state.get if state.exists else None  # (ts, event_id, type)
+        for pdf in pdfs:
+            for ts, eid, et in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                cand = (ts.to_pydatetime(), int(eid), str(et))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [best[1]],
+                "event_type": [best[2]],
+                "ts": [best[0]],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def user_totals_batch(events: DataFrame) -> DataFrame:
     """Batch twin of the stateful operator's FINAL state."""
     return events.groupBy("user_id").agg(

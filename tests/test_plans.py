@@ -33,3 +33,48 @@ def test_agg_is_partial_then_final_no_python(spark, sf_dir):
     pc = plan_checks(a1_owner_agg(spark, sf_dir), execute=True)
     assert pc.python_stages() == 0
     assert pc.final.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Co-located bucketed join (sources/catalog.write_bucketed): two
+    tables bucketed identically on the join key must equi-join with ZERO
+    Exchange operators — the 100 TB play for the write-once/join-daily
+    parcel-cover layer.  The same join on plain parquet shuffles both
+    sides (control)."""
+    from rosreestr_xml_to_gis_converter_spark.sources.catalog import Catalog
+
+    spark.sql("DROP TABLE IF EXISTS b_images")
+    spark.sql("DROP TABLE IF EXISTS b_cover")
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    images = spark.range(0, 100_000).selectExpr(
+        "concat('img-', id) AS image_id", "CAST(id % 997 AS LONG) AS cell"
+    )
+    cover = spark.range(0, 997).selectExpr(
+        "CAST(id AS LONG) AS cell", "concat('cad-', id % 40) AS cad_number"
+    )
+    cat.write_bucketed(images, "b_images", ["cell"], n_buckets=8, sort_cols=["cell"])
+    cat.write_bucketed(cover, "b_cover", ["cell"], n_buckets=8, sort_cols=["cell"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = cat.read_table("b_images").join(cat.read_table("b_cover"), "cell")
+        assert joined.count() == 100_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in final, final
+        assert "SortMergeJoin" in final
+
+        # control: the identical join over non-bucketed parquet shuffles
+        images.write.mode("overwrite").parquet(str(tmp_path / "plain_i"))
+        cover.write.mode("overwrite").parquet(str(tmp_path / "plain_c"))
+        plain = spark.read.parquet(str(tmp_path / "plain_i")).join(
+            spark.read.parquet(str(tmp_path / "plain_c")), "cell"
+        )
+        plain.count()
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan.split("== Initial Plan ==")[0]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_images")
+        spark.sql("DROP TABLE IF EXISTS b_cover")

@@ -93,3 +93,37 @@ def test_stateful_user_totals_final_state_equals_batch(spark, events_dir):
     }
     assert got == want
     assert len(want) >= 10
+
+
+def test_stream_lww_upsert_final_winner_equals_batch(spark, sf_dir, events_dir):
+    """The stateful LWW winner after all micro-batches equals the batch
+    G4 window realization (queries_ref.g4_lww_upsert semantics)."""
+    from rosreestr_xml_to_gis_converter_spark.queries_ref import g4_lww_upsert
+    from rosreestr_xml_to_gis_converter_spark.streaming.events import (
+        read_events_stream,
+        stream_lww_upsert,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    q = (
+        stream_lww_upsert(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("lww_sink")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    emitted = spark.table("lww_sink").toPandas()
+    # winners are monotone per user in (ts, event_id): final = max emitted
+    final = (
+        emitted.sort_values(["ts", "event_id"])
+        .groupby("user_id")
+        .tail(1)[["user_id", "event_id", "event_type"]]
+    )
+    got = {tuple(r) for r in final.itertuples(index=False, name=None)}
+    want = {
+        (r.user_id, r.event_id, r.event_type)
+        for r in g4_lww_upsert(spark, sf_dir).collect()
+    }
+    assert got == want
