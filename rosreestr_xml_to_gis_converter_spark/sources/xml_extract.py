@@ -998,7 +998,14 @@ def _parse_build_record(root: ET.Element) -> list[dict]:
 
 
 def parse_extract(doc_id: str, content: bytes | str) -> list[dict]:
-    """One extract document -> rows (dispatch + project + assemble)."""
+    """One extract document -> rows (dispatch + project + assemble).
+
+    EVERY per-document failure lands in the error bucket instead of
+    failing the task — the reference's per-file log-and-continue
+    discipline (main.py:33-49 @logger, :458-459 xml_errors): one
+    malformed coordinate in a 10^8-file ingest must cost one row, not
+    a stage retry storm.
+    """
     base = {c: None for c in _COLS}
     base["doc_id"] = doc_id
     try:
@@ -1007,20 +1014,23 @@ def parse_extract(doc_id: str, content: bytes | str) -> list[dict]:
         return [{**base, "error": f"parse_error: {e}"}]
     ns = "{%s}" % KVZU_NS
     ns2 = "{%s}" % KPZU_NS
-    if root.find(f"{ns}Parcels/{ns}Parcel") is not None:
-        rows = _parse_kvzu_family(root, KVZU_NS, "KVZU")
-    elif root.find(f"{ns2}Parcel") is not None:
-        rows = _parse_kvzu_family(root, KPZU_NS, "KPZU")
-    elif root.find("land_record") is not None:
-        rows = _parse_land_record(root)
-    elif root.find("build_record") is not None:
-        rows = _parse_build_record(root)
-    elif root.find("{%s}Realty" % KVOKS_NS) is not None:
-        rows = _parse_occ(root, KVOKS_NS, "KVOKS")
-    elif root.find("{%s}Realty" % KPOKS_NS) is not None:
-        rows = _parse_occ(root, KPOKS_NS, "KPOKS")
-    else:
-        return [{**base, "error": "unsupported_schema"}]
+    try:
+        if root.find(f"{ns}Parcels/{ns}Parcel") is not None:
+            rows = _parse_kvzu_family(root, KVZU_NS, "KVZU")
+        elif root.find(f"{ns2}Parcel") is not None:
+            rows = _parse_kvzu_family(root, KPZU_NS, "KPZU")
+        elif root.find("land_record") is not None:
+            rows = _parse_land_record(root)
+        elif root.find("build_record") is not None:
+            rows = _parse_build_record(root)
+        elif root.find("{%s}Realty" % KVOKS_NS) is not None:
+            rows = _parse_occ(root, KVOKS_NS, "KVOKS")
+        elif root.find("{%s}Realty" % KPOKS_NS) is not None:
+            rows = _parse_occ(root, KPOKS_NS, "KPOKS")
+        else:
+            return [{**base, "error": "unsupported_schema"}]
+    except Exception as e:  # noqa: BLE001 — quarantine, never fail the task
+        return [{**base, "error": f"{type(e).__name__}: {e}"}]
     return [{**base, **r} for r in rows]
 
 

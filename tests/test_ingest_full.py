@@ -332,3 +332,34 @@ def test_rename_plan_collision_suffixes(spark):
     assert out["f2.xml"] == "69-1-1-7---15-06-2023 (3).xml"
     assert out["f3.xml"] == "69-1-1-3---15-06-2023.xml"
     assert out["bad.xml"] is None
+
+
+def test_malformed_coordinates_quarantined_not_fatal(spark):
+    """A document with unparseable coordinate text costs one error row,
+    never a task failure (the reference's per-file log-and-continue,
+    main.py:33-49)."""
+    bad = kvzu_xml("69:9:9:9", [SQ]).replace('X="50.0"', 'X="not-a-number"', 1)
+    good = kvzu_xml("69:9:9:8", [SQ])
+    out = parse_extracts(
+        _files(spark, [("bad.xml", bad), ("good.xml", good)])
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id["bad.xml"].error.startswith("ValueError")
+    assert by_id["good.xml"].error is None and by_id["good.xml"].geom is not None
+
+
+def test_egrn_plain_y_tag(spark):
+    """EGRN ordinate fallback: <_y> preferred, plain <y> accepted
+    (real_estate.py:1528-1533)."""
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import (
+        _egrn_spatial_xml,
+    )
+
+    inner = _egrn_spatial_xml([SQ], y_tag="y")
+    xml = land_record_xml("50:8:8:8", [SQ]).replace(
+        _egrn_spatial_xml([SQ]), inner
+    )
+    r = parse_extract("y.xml", xml)[0]
+    assert r["geom"] is not None
+    rings = unpack_rings(r["geom"])
+    assert {p[0] for p in rings[0]} == {10.0, 14.0}
