@@ -421,7 +421,13 @@ def convert_extracts(
     w_join.write(joined, "cad_number", n_buckets)
     w_tiles = CheckpointedWriter(spark, f"{out_dir}/tiles", run_id)
     w_tiles.write(tiles, "cad_number", n_buckets)
-    parcels.drop("geom").write.mode("overwrite").parquet(f"{out_dir}/parcels_attrs")
+    # the attrs table carries the reference's FINAL strings (status/
+    # category/permitted_use/address resolved via the shipped classifier
+    # dims), not raw codes — a user of the reference reads this table
+    # like the XLSX output
+    finalize_attributes(parcels).drop("geom", "contours").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/parcels_attrs")
     errors.write.mode("overwrite").parquet(f"{out_dir}/errors")
 
     summary = {
