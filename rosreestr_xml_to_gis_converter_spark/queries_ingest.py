@@ -271,15 +271,83 @@ FROM (
 """
 
 
+def ingest_occ_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCC long-address concatenation END-TO-END (real_estate.py:1721-1753):
+    KVOKS extracts with deterministic District/City/Street/Level1/Apartment
+    part combinations -> parse -> finalize_attributes; the ordered
+    ', '-joined address (region classifier label first) plus the OCC
+    category/status stubs are recomputed exactly in SQL."""
+    from rosreestr_xml_to_gis_converter_spark.pipeline import finalize_attributes
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import kvoks_xml
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d = int(doc_id)
+                parts = [f"<adrs:Region>{'69' if d % 2 == 0 else '50'}</adrs:Region>"]
+                if d % 2 == 0:
+                    parts.append(f'<adrs:District Name="Р-{d}" Type="р-н"/>')
+                if d % 3 == 0:
+                    parts.append(f'<adrs:City Type="г" Name="Город-{d}"/>')
+                if d % 4 == 0:
+                    parts.append(f'<adrs:Street Name="Улица-{d}" Type="ул"/>')
+                if d % 5 == 0:
+                    parts.append(f'<adrs:Level1 Type="д" Value="{d % 50}"/>')
+                if d % 7 == 0:
+                    parts.append(f'<adrs:Apartment Type="кв" Value="{d % 20}"/>')
+                xml = kvoks_xml(
+                    f"69:40:{d}:1", None, area=str(n_chars), address="x"
+                ).replace("<adrs:Note>x</adrs:Note>", "".join(parts))
+                rows.append((f"occ-{d}.xml", xml.encode()))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    files = _docs(spark, sf_dir).mapInPandas(gen, schema="path string, content binary")
+    out = finalize_attributes(parse_extracts(files))
+    return out.select(
+        F.regexp_extract("doc_id", r"occ-(\d+)\.xml", 1).cast("long").alias("doc_id"),
+        "cad_number",
+        "address",
+        "area",
+        "category",
+        "status",
+    )
+
+
+def _occ_address_sql() -> str:
+    from rosreestr_xml_to_gis_converter_spark.classifiers import REGION
+
+    return f"""
+SELECT doc_id,
+       '69:40:' || CAST(doc_id AS VARCHAR) || ':1' AS cad_number,
+       CASE WHEN doc_id % 2 = 0 THEN '{REGION["69"]}' ELSE '{REGION["50"]}' END
+       || CASE WHEN doc_id % 2 = 0 THEN ', Р-' || CAST(doc_id AS VARCHAR) || ' р-н' ELSE '' END
+       || CASE WHEN doc_id % 3 = 0 THEN ', г Город-' || CAST(doc_id AS VARCHAR) ELSE '' END
+       || CASE WHEN doc_id % 4 = 0 THEN ', Улица-' || CAST(doc_id AS VARCHAR) || ' ул' ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN ', д ' || CAST(doc_id % 50 AS VARCHAR) ELSE '' END
+       || CASE WHEN doc_id % 7 = 0 THEN ', кв ' || CAST(doc_id % 20 AS VARCHAR) ELSE '' END
+       AS address,
+       CAST(n_chars AS VARCHAR) AS area,
+       '-' AS category,
+       '-' AS status
+FROM documents WHERE doc_id < {_N_DOCS}
+"""
+
+
+INGEST_OCC_ADDRESS_SQL = _occ_address_sql()
+
+
 INGEST_QUERIES = {
     "ingest_rename_plan": ingest_rename_plan,
     "ingest_kvzu_attrs": ingest_kvzu_attrs,
     "ingest_rights_rows": ingest_rights_rows,
     "ingest_multi_contour": ingest_multi_contour,
     "ingest_owner_strings": ingest_owner_strings,
+    "ingest_occ_address": ingest_occ_address,
 }
 
 INGEST_ORACLES = {
+    "ingest_occ_address": INGEST_OCC_ADDRESS_SQL,
     "ingest_rename_plan": INGEST_RENAME_SQL,
     "ingest_owner_strings": INGEST_OWNER_STRINGS_SQL,
     "ingest_kvzu_attrs": INGEST_KVZU_ATTRS_SQL,
