@@ -106,6 +106,12 @@ class CheckpointedWriter:
                 if fail_after_groups is not None and gi >= fail_after_groups:
                     raise RuntimeError("injected failure for resume test")
                 t0 = time.time()
+                # dynamic partition overwrite never touches a partition that
+                # produces no rows this run — clear the group's directories
+                # first so leftover files from an aborted earlier run (same
+                # base_dir, different run_id) can't be counted as freshly
+                # written lineage (ADVICE r2)
+                self._clear_bucket_dirs(group)
                 part = bdf.filter(F.col(BUCKET_COL).isin(group))
                 part.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(self.data_dir)
                 secs = time.time() - t0
@@ -117,6 +123,20 @@ class CheckpointedWriter:
             bdf.unpersist()
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
         return len(groups)
+
+    def _clear_bucket_dirs(self, group: list[int]) -> None:
+        """Delete the (uncommitted) bucket directories of a todo group.
+
+        Safe by construction: ``write`` only passes buckets absent from the
+        lineage table, so anything on disk under them is debris from a run
+        that crashed before recording lineage."""
+        jvm = self.spark.sparkContext._jvm
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        for b in group:
+            hp = jvm.org.apache.hadoop.fs.Path(f"{self.data_dir}/{BUCKET_COL}={b}")
+            fs = hp.getFileSystem(hconf)
+            if fs.exists(hp):
+                fs.delete(hp, True)
 
     def _written_counts(self, group: list[int]) -> dict[int, int]:
         """Row count per bucket from the bucket directories just written —

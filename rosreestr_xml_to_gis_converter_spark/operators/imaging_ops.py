@@ -144,6 +144,12 @@ def _jpeg_frame_end(data: bytes, start: int) -> int:
     while p < n - 1:
         if data[p] != 0xFF:
             raise ValueError(f"MJPEG: expected marker at byte {p}")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+        # skip them instead of misreading a fill byte as a segment marker
+        while p < n - 1 and data[p + 1] == 0xFF:
+            p += 1
+        if p >= n - 1:
+            break
         m = data[p + 1]
         if m == 0xD9:
             return p + 2

@@ -138,6 +138,14 @@ def knn_grid(
     worst-case kNN radius of the layer (asserted in tests).  Candidate
     expansion replicates the SMALL side (2*disk+1)^2 times — the 10^12-row
     image side is never exploded.
+
+    Precondition: ``image_id`` must be unique in ``images`` (true of a
+    real image table).  Top-k is computed per input ROW — duplicate ids
+    would each emit their own k rows; callers joining from tables with
+    repeated keys (e.g. the driver testdata's duplicate (orderkey,
+    linenumber) pairs) must ``dropDuplicates(["image_id"])`` first, as
+    the gate queries do.  Deduping here would force a shuffle of the big
+    side on every call, which the zero-shuffle design exists to avoid.
     """
     pts = with_geotag(images, box).select("image_id", "lon", "lat")
     pts = pts.withColumn("cell", cell_col(F.col("lat"), F.col("lon"), res))

@@ -51,7 +51,14 @@ def _dbf_value(value, ftype: str, length: int, decimals: int, encoding: str) -> 
     if ftype == "N":
         num = 0.0 if value in (None, "") else float(value)
         raw = f"{num:{length}.{decimals}f}".encode("ascii")
-        return raw[-length:].rjust(length, b" ")
+        if len(raw) > length:
+            # never truncate from the left (drops sign / most-significant
+            # digits silently, ADVICE r2) — a too-narrow field is a schema
+            # bug the caller must see
+            raise ValueError(
+                f"numeric value {num!r} does not fit dbf field width {length}"
+            )
+        return raw.rjust(length, b" ")
     if ftype == "D":
         if isinstance(value, (datetime.date, datetime.datetime)):
             return value.strftime("%Y%m%d").encode("ascii")

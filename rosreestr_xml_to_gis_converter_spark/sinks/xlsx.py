@@ -12,9 +12,14 @@ iterator — the driver never holds the whole table.
 
 from __future__ import annotations
 
+import math
+import re
 import zipfile
 from typing import Iterable, Sequence
 from xml.sax.saxutils import escape
+
+# chars invalid in XML 1.0 even when escaped (everything C0 except \t\n\r)
+_XML_INVALID = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 # XLSX column headers A1:Q1 (main.py:283-299)
 REFERENCE_HEADER = [
@@ -73,10 +78,17 @@ def _row_xml(row_idx: int, values: Sequence) -> str:
             if n < 0:
                 break
         ref = f"{col}{row_idx}"
-        if isinstance(v, (int, float)) and not isinstance(v, bool):
+        # numeric <v> only for finite numbers: nan/inf are not valid XLSX
+        # numeric cell values (Excel rejects the workbook), so they fall
+        # through to the inlineStr branch (ADVICE r2)
+        if (
+            isinstance(v, (int, float))
+            and not isinstance(v, bool)
+            and not (isinstance(v, float) and not math.isfinite(v))
+        ):
             cells.append(f'<c r="{ref}"><v>{v}</v></c>')
         else:
-            text = escape("" if v is None else str(v))
+            text = escape(_XML_INVALID.sub("", "" if v is None else str(v)))
             cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>')
     return f'<row r="{row_idx}">{"".join(cells)}</row>'
 

@@ -111,3 +111,28 @@ def test_fvid_stub_still_sampled(spark):
     )
     out = sample_frames(videos, every_k=2).collect()
     assert sorted(r.frame_idx for r in out) == [0, 2, 4]
+
+
+def test_mjpeg_fill_bytes_between_segments():
+    """ADVICE r2 / T.81 B.1.1.2: optional 0xFF fill bytes may precede any
+    marker; the frame-span scanner must skip them instead of reading a
+    bogus segment length."""
+    import numpy as np
+
+    from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import (
+        decode_mjpeg,
+        encode_mjpeg,
+        mjpeg_frame_spans,
+    )
+
+    frames = np.stack([np.full((16, 16, 3), 40 * i + 7, np.uint8) for i in range(3)])
+    data = encode_mjpeg(frames, 90)
+    # inject a fill byte after each frame's SOI marker (before the next
+    # segment marker) — still a valid stream per T.81
+    spans = mjpeg_frame_spans(data)
+    padded = b"".join(
+        data[s : s + 2] + b"\xff" + data[s + 2 : e] for s, e in spans
+    )
+    got_spans = mjpeg_frame_spans(padded)
+    assert len(got_spans) == 3
+    np.testing.assert_array_equal(decode_mjpeg(padded), frames)

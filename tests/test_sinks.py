@@ -113,3 +113,28 @@ def test_export_outputs_end_to_end(spark, tmp_path):
     assert data["69:3:3:31"][1] == "69:3:3:3"  # parent CN in column B
     assert data["69:3:3:32"][1] == "69:3:3:3"
     assert data["50:2:2:2"][7] == "Собственность ООО Луг ИНН: 771"
+
+
+def test_xlsx_row_xml_nonfinite_and_control_chars():
+    """ADVICE r2: nan/inf must not land in a numeric <v> (Excel rejects
+    the workbook); XML-invalid control chars must be stripped, not passed
+    through escape()."""
+    from rosreestr_xml_to_gis_converter_spark.sinks.xlsx import _row_xml
+
+    xml = _row_xml(1, [float("nan"), float("inf"), 1.5, "a\x0bb"])
+    assert "<v>nan</v>" not in xml and "<v>inf</v>" not in xml
+    assert '<c r="A1" t="inlineStr"><is><t>nan</t></is></c>' in xml
+    assert "<v>1.5</v>" in xml
+    assert "<t>ab</t>" in xml  # \x0b stripped
+
+
+def test_dbf_numeric_overflow_raises():
+    """ADVICE r2: 'N' used to truncate from the left, silently dropping the
+    sign/most-significant digits."""
+    import pytest
+
+    from rosreestr_xml_to_gis_converter_spark.sinks.shapefile import _dbf_value
+
+    assert _dbf_value(12.5, "N", 10, 1, "cp1251") == b"      12.5"
+    with pytest.raises(ValueError, match="does not fit"):
+        _dbf_value(-123456.7, "N", 6, 1, "cp1251")

@@ -101,6 +101,27 @@ def test_checkpoint_resume_byte_identical(spark, tmp_path, join_df):
     assert int(m["n_rows"].sum()) == len(want)
 
 
+def test_checkpoint_stale_debris_not_counted(spark, tmp_path):
+    """Regression (ADVICE r2): dynamic partition overwrite never touches a
+    partition that produces no rows, so debris files from an aborted
+    earlier run used to survive in empty buckets and be reported as
+    freshly-written lineage.  write() must clear todo bucket dirs first."""
+    base = str(tmp_path / "stale")
+    # 100 rows over 3 distinct keys -> at most 3 of 8 buckets nonempty
+    df = spark.range(100).selectExpr("id", "cast(id % 3 as string) AS key")
+    # an aborted earlier run (no lineage recorded) left files in EVERY bucket
+    debris = spark.range(7).selectExpr("id", "'zz' AS key")
+    for b in range(8):
+        debris.coalesce(1).write.mode("overwrite").parquet(f"{base}/data/_bucket={b}")
+
+    w = CheckpointedWriter(spark, base, "run1")
+    w.write(df, "key", n_buckets=8, group_size=3)
+    m = w.metrics().filter("run_id = 'run1'").toPandas()
+    assert sorted(m["bucket"]) == list(range(8))
+    assert int(m["n_rows"].sum()) == 100  # debris rows not in lineage
+    assert w.read().count() == 100  # ...and not in the output either
+
+
 def test_checkpoint_write_computes_upstream_once(spark, tmp_path):
     """Regression (round-1 perf-weak #2): write() used to recompute the
     unpersisted upstream once per group for the write plus once more for
