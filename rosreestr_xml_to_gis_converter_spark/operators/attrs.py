@@ -1,30 +1,55 @@
 """Attribute-row operators: the reference's owner-aggregation matrix as a
 declarative groupBy + CASE cascade.
 
-Re-expresses the observable branch families of
-/root/reference/real_estate.py:183-452 (and the EGRN variant
-:1076-1239) over a normalized per-right rows table
+Re-expresses the full branch tree of /root/reference/real_estate.py:183-452
+(and the EGRN variant :1076-1239) over a normalized per-right rows table
 
-    rights(doc_id, right_type, owner, share_den)
+    rights(doc_id, right_type, owner, share_den, share_text)
 
-* distinct owners counted on UPPER-cased names (set_dolevikov,
-  real_estate.py:352-357);
-* share count = max of denominators (:394,408,413,438);
-* shared ownership ('Долевая собственность'):
-    1 owner             -> 'type owner'
-    2 owners w/ shares  -> 'type Name1, Name2 (D долей)'
-    2 owners no shares  -> 'type (NAME1, NAME2)'
-    >2 owners w/ shares -> 'type (D долей; N правообладателей)'
-    >2 owners           -> 'type (N правообладателей)'        (:381-452)
+Row classification (real_estate.py:210-222):
+* 'пропорциональн...' share texts contribute NO share (the row still
+  carries its owner/type);
+* numeric shares ('3/25' or Share@Numerator/Denominator) feed
+  list_dolei / doli_two_persons — here ``share_den`` + ``share_text``;
+* every other non-null share text is a hectare-text share
+  (``list_doli_ga``, e.g. '10 га').
+
+Branch tree for 'Долевая собственность' (:381-431), in reference order:
+  B1 exactly 1 right row with 1 owner      -> 'type owner'
+  B2 ga shares present:
+    a n_ga == n_owner_rows <= 2            -> 'type ga1 o1, ga2 o2'
+    b n_ga == n_owner_rows > 2             -> 'type (N правообладателей)'
+    c ga AND numeric, >2 distinct owners   -> 'type (D долей; N правообладателей)'
+      ga AND numeric, 2 distinct owners    -> 'type Name1, Name2 (D долей)'
+      ga AND numeric, <2 distinct owners   -> ''   (unhandled in the reference)
+    d >2 distinct owners                   -> 'type (N правообладателей)'
+    e <=2 distinct owners                  -> 'type (NAME1, NAME2)'  (upper set)
+  B3 numeric shares only:
+    a 1 distinct owner == 'ДАННЫЕ О ПРАВООБЛАДАТЕЛЕ ОТСУТСТВУЮТ'
+                                           -> 'type (D долей; данные о правообладателях отсутствуют)'
+    b 1 distinct owner, <=2 rows           -> 'type (D долей)Name'   (the
+      reference's no-space concat quirk, :410-411)
+      1 distinct owner, >2 rows            -> ''   (reference IndexError
+      caught by the bare except, :421-422)
+    c >2 owner rows                        -> 'type (D долей; N правообладателей)'
+    d exactly 1 owner row                  -> 'type d1 Name1'
+    e 2 owner rows, >=2 numeric shares     -> 'type: d1 Name1, d2 Name2'
+      2 owner rows, <2 numeric shares      -> ''   (reference IndexError)
+  B4 right rows but zero owners            -> the bare right type (:426-431)
 * joint ownership -> 'Совместная собственность o1, o2'        (:432-436)
-* no rights rows: forest/water fund -> 'Собственность РФ' (:363-366),
-  else district-administration fallback with the '-ий/-ой -> -ого' regex
-  declension (:367-380), else ''.
+* no rights rows at all: forest/water fund -> 'Собственность РФ'
+  (:363-366), else district-administration fallback with the
+  '-ий/-ой -> -ого' regex declension (:367-380), else ''.
 * otherwise ', '-joined 'type owner' pairs (:452).
 
-Deliberate deviation (documented): name lists are sorted for
-determinism — the reference keeps XML document order, which has no
-stable distributed equivalent.
+Distinct-owner counts use UPPER-cased names (set_dolevikov, :352-357);
+emitted names are initcap'd (list_dolevikov_new .title(), :358-361);
+share count = max of denominators (:394,408,413,438).
+
+Deliberate deviations (documented): name/pair lists are sorted for
+determinism (the reference keeps XML document order, which has no stable
+distributed equivalent), and the scalar type gate uses max(right_type)
+where the reference keeps the LAST right's type.
 """
 
 from __future__ import annotations
@@ -51,16 +76,51 @@ def district_administration(district: Column) -> Column:
     )
 
 
+MISSING_OWNER = "ДАННЫЕ О ПРАВООБЛАДАТЕЛЕ ОТСУТСТВУЮТ"
+
+
 def owner_summary(rights: DataFrame, parcels: DataFrame) -> DataFrame:
-    """rights x parcels(doc_id, category, district_name) -> (doc_id, owner)."""
+    """rights x parcels(doc_id, category, district_name) -> (doc_id, owner).
+
+    ``rights`` needs (doc_id, right_type, owner, share_den) and optionally
+    ``share_text`` (without it the ga branches and the share-text pair
+    branches see nulls, matching extracts that carry only Share attrs).
+    """
+    if "share_text" not in rights.columns:
+        rights = rights.withColumn("share_text", F.lit(None).cast("string"))
+
+    nj = F.col("right_type") != JOINT  # list_owner / list_type_sobstv rows
+    sh_row = F.col("right_type") == SHARED
+    prop = F.coalesce(F.col("share_text").rlike("пропорциональн"), F.lit(False))
+    numeric = sh_row & F.col("share_den").isNotNull() & ~prop
+    ga = (
+        sh_row
+        & F.col("share_den").isNull()
+        & F.col("share_text").isNotNull()
+        & ~prop
+    )
+
     g = rights.groupBy("doc_id").agg(
-        F.countDistinct(F.upper("owner")).alias("n_owners"),
-        F.max("share_den").alias("max_den"),
-        F.max(F.when(F.col("share_den").isNotNull(), 1).otherwise(0)).alias("has_shares"),
-        F.array_sort(F.collect_set(F.initcap("owner"))).alias("names"),
-        F.array_sort(F.collect_set(F.upper("owner"))).alias("names_uc"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(nj, 1)).alias("n_type_rows"),
+        F.count(F.when(nj & F.col("owner").isNotNull(), 1)).alias("n_rows"),
+        F.countDistinct(F.when(nj, F.upper("owner"))).alias("n_owners"),
+        F.array_sort(F.collect_set(F.when(nj, F.initcap("owner")))).alias("names"),
+        F.array_sort(F.collect_set(F.when(nj, F.upper("owner")))).alias("names_uc"),
+        F.max(F.when(numeric, F.col("share_den"))).alias("max_den"),
+        F.count(F.when(numeric, 1)).alias("n_dolei"),
+        F.count(F.when(ga, 1)).alias("n_ga"),
+        F.array_sort(
+            F.collect_list(F.when(ga, F.concat_ws(" ", "share_text", "owner")))
+        ).alias("ga_pairs"),
+        F.array_sort(
+            F.collect_list(
+                F.when(numeric, F.concat_ws(" ", F.col("share_text"), F.initcap("owner")))
+            )
+        ).alias("num_pairs"),
+        F.max(F.when(F.upper("owner") == MISSING_OWNER, 1).otherwise(0)).alias("has_missing"),
         F.max("right_type").alias("right_type"),
-        F.countDistinct("right_type").alias("n_types"),
+        F.array_sort(F.collect_set(F.initcap("owner"))).alias("all_names"),
         F.array_sort(
             F.collect_set(F.concat_ws(" ", F.col("right_type"), F.col("owner")))
         ).alias("pairs"),
@@ -68,49 +128,90 @@ def owner_summary(rights: DataFrame, parcels: DataFrame) -> DataFrame:
     j = parcels.join(g, "doc_id", "left")
 
     shared = F.col("right_type") == SHARED
+    has_ga = F.col("n_ga") > 0
+    has_dolei = F.col("n_dolei") > 0
     two_names = F.array_join(F.slice("names", 1, 2), ", ")
-    two_names_uc = F.array_join(F.slice("names_uc", 1, 2), ", ")
+    count_tail = F.concat(F.col("n_owners"), F.lit(" правообладателей)"))
+    dolei_head = F.concat(F.lit(SHARED + " ("), F.col("max_den"), F.lit(" долей"))
 
     owner = (
-        # no rights at all -> category/district defaults
+        # no rights rows at all -> category/district defaults (:363-380)
         F.when(
-            F.col("n_owners").isNull() | (F.col("n_owners") == 0),
+            F.col("n_all").isNull() | (F.col("n_all") == 0),
             F.when(
                 F.col("category").isin("Земли лесного фонда", "Земли водного фонда"),
                 F.lit("Собственность РФ"),
             ).otherwise(F.coalesce(district_administration(F.col("district_name")), F.lit(""))),
         )
+        # B1 (:382-386): exactly one right row with exactly one owner
         .when(
-            shared & (F.col("n_owners") == 1),
+            shared & (F.col("n_type_rows") == 1) & (F.col("n_rows") == 1),
             F.concat_ws(" ", F.col("right_type"), F.element_at("names", 1)),
         )
+        # B2 (:387-402): hectare-text shares present
         .when(
-            shared & (F.col("n_owners") == 2) & (F.col("has_shares") == 1),
+            shared & has_ga & (F.col("n_ga") == F.col("n_rows")) & (F.col("n_rows") <= 2),
+            F.concat(F.lit(SHARED + " "), F.array_join("ga_pairs", ", ")),
+        )
+        .when(
+            shared & has_ga & (F.col("n_ga") == F.col("n_rows")),
+            F.concat(F.lit(SHARED + " ("), count_tail),
+        )
+        .when(
+            shared & has_ga & has_dolei & (F.col("n_owners") > 2),
+            F.concat(dolei_head, F.lit("; "), count_tail),
+        )
+        .when(
+            shared & has_ga & has_dolei & (F.col("n_owners") == 2),
             F.concat(
                 F.lit(SHARED + " "), two_names, F.lit(" ("), F.col("max_den"), F.lit(" долей)")
             ),
         )
+        .when(shared & has_ga & has_dolei, F.lit(""))  # unhandled in the reference
         .when(
-            shared & (F.col("n_owners") == 2),
-            F.concat(F.lit(SHARED + " ("), two_names_uc, F.lit(")")),
+            shared & has_ga & (F.col("n_owners") > 2),
+            F.concat(F.lit(SHARED + " ("), count_tail),
         )
         .when(
-            shared & (F.col("has_shares") == 1),
+            shared & has_ga,
+            F.concat(F.lit(SHARED + " ("), F.array_join("names_uc", ", "), F.lit(")")),
+        )
+        # B3 (:404-422): numeric shares only
+        .when(
+            shared & has_dolei & (F.col("n_owners") == 1) & (F.col("has_missing") == 1),
+            F.concat(dolei_head, F.lit("; данные о правообладателях отсутствуют)")),
+        )
+        .when(
+            shared & has_dolei & (F.col("n_owners") == 1) & (F.col("n_rows") <= 2),
+            # the reference's no-space concat quirk (:410-411)
+            F.concat(dolei_head, F.lit(")"), F.element_at("names", 1)),
+        )
+        .when(shared & has_dolei & (F.col("n_owners") == 1), F.lit(""))  # ref IndexError
+        .when(
+            shared & has_dolei & (F.col("n_rows") > 2),
+            F.concat(dolei_head, F.lit("; "), count_tail),
+        )
+        .when(
+            shared & has_dolei & (F.col("n_rows") == 1),
             F.concat(
-                F.lit(SHARED + " ("),
-                F.col("max_den"),
-                F.lit(" долей; "),
-                F.col("n_owners"),
-                F.lit(" правообладателей)"),
+                F.lit(SHARED + " "), F.element_at("num_pairs", 1)
             ),
         )
         .when(
-            shared,
-            F.concat(F.lit(SHARED + " ("), F.col("n_owners"), F.lit(" правообладателей)")),
+            shared & has_dolei & (F.col("n_dolei") >= 2),
+            F.concat(F.lit(SHARED + ": "), F.array_join("num_pairs", ", ")),
         )
+        .when(shared & has_dolei, F.lit(""))  # ref IndexError (2 rows, 1 share)
+        # no shares at all but owners present (:423-425) -> count text
+        .when(
+            shared & (F.col("n_owners") > 0),
+            F.concat(F.lit(SHARED + " ("), count_tail),
+        )
+        # B4 (:426-431): right rows but zero owners -> bare type
+        .when(shared & (F.col("n_rows") == 0), F.col("right_type"))
         .when(
             F.col("right_type") == JOINT,
-            F.concat(F.lit(JOINT + " "), F.array_join("names", ", ")),
+            F.concat(F.lit(JOINT + " "), F.array_join("all_names", ", ")),
         )
         .otherwise(F.array_join("pairs", ", "))
     )

@@ -195,10 +195,14 @@ SELECT image_id, cad_number, rank, dist FROM (
 
 def a1_owner_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's owner CASE matrix over a rights table derived
-    arithmetically from orders x customer (oracle mirrors every branch)."""
+    arithmetically from orders x customer; orderkey%3 spreads rows over
+    numeric shares ('1/D'), hectare-text shares ('K га' — the
+    list_doli_ga sub-branches, real_estate.py:387-402), and share-less
+    rows, so the oracle mirrors the WHOLE branch tree."""
     from rosreestr_xml_to_gis_converter_spark.operators.attrs import owner_summary
 
     o = load(spark, sf_dir, "orders")
+    den = F.round(F.col("o_totalprice")).cast("long")
     rights = o.select(
         F.col("o_custkey").alias("doc_id"),
         F.when(F.col("o_orderstatus") == "O", "Долевая собственность")
@@ -206,9 +210,13 @@ def a1_owner_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Собственность")
         .alias("right_type"),
         F.concat(F.lit("Owner#"), (F.col("o_orderkey") % 4).cast("string")).alias("owner"),
-        F.when(
-            F.col("o_orderkey") % 3 == 0, F.round(F.col("o_totalprice")).cast("long")
-        ).alias("share_den"),
+        F.when(F.col("o_orderkey") % 3 == 0, den).alias("share_den"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.concat(F.lit("1/"), den))
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat((F.col("o_orderkey") % 9 + 1).cast("string"), F.lit(" га")),
+        )
+        .alias("share_text"),
     )
     c = load(spark, sf_dir, "customer")
     parcels = c.select(
@@ -221,14 +229,20 @@ def a1_owner_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return owner_summary(rights, parcels)
 
 
+# mirrors operators/attrs.owner_summary branch-for-branch (which itself
+# mirrors real_estate.py:183-452 — see the module docstring there)
 A1_OWNER_MATRIX_SQL = """
 WITH rights AS (
   SELECT o_custkey AS doc_id,
          CASE o_orderstatus WHEN 'O' THEN 'Долевая собственность'
               WHEN 'F' THEN 'Совместная собственность'
-              ELSE 'Собственность' END AS right_type,
+              ELSE 'Собственность' END AS rt,
          'Owner#' || CAST(o_orderkey % 4 AS VARCHAR) AS owner,
-         CASE WHEN o_orderkey % 3 = 0 THEN CAST(round(o_totalprice) AS BIGINT) END AS share_den
+         CASE WHEN o_orderkey % 3 = 0 THEN CAST(round(o_totalprice) AS BIGINT) END AS den,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN '1/' || CAST(CAST(round(o_totalprice) AS BIGINT) AS VARCHAR)
+              WHEN o_orderkey % 3 = 1
+              THEN CAST(o_orderkey % 9 + 1 AS VARCHAR) || ' га' END AS txt
   FROM orders),
 par AS (
   SELECT c_custkey AS doc_id,
@@ -237,33 +251,68 @@ par AS (
   FROM customer),
 g AS (
   SELECT doc_id,
-         count(DISTINCT upper(owner)) AS n_owners,
-         max(share_den) AS max_den,
-         max(CASE WHEN share_den IS NOT NULL THEN 1 ELSE 0 END) AS has_shares,
-         list_sort(list_distinct(list(owner))) AS names,
-         list_sort(list_distinct(list(upper(owner)))) AS names_uc,
-         max(right_type) AS right_type,
-         list_sort(list_distinct(list(right_type || ' ' || owner))) AS pairs
+         count(*) AS n_all,
+         count(*) FILTER (WHERE rt <> 'Совместная собственность') AS n_type_rows,
+         count(*) FILTER (WHERE rt <> 'Совместная собственность') AS n_rows,
+         count(DISTINCT upper(owner)) FILTER (WHERE rt <> 'Совместная собственность') AS n_owners,
+         list_sort(list_distinct(list(owner) FILTER (WHERE rt <> 'Совместная собственность'))) AS names,
+         list_sort(list_distinct(list(upper(owner)) FILTER (WHERE rt <> 'Совместная собственность'))) AS names_uc,
+         max(den) FILTER (WHERE rt = 'Долевая собственность') AS max_den,
+         count(*) FILTER (WHERE rt = 'Долевая собственность' AND den IS NOT NULL) AS n_dolei,
+         count(*) FILTER (WHERE rt = 'Долевая собственность' AND den IS NULL AND txt IS NOT NULL) AS n_ga,
+         list_sort(list(txt || ' ' || owner)
+           FILTER (WHERE rt = 'Долевая собственность' AND den IS NULL AND txt IS NOT NULL)) AS ga_pairs,
+         list_sort(list(txt || ' ' || owner)
+           FILTER (WHERE rt = 'Долевая собственность' AND den IS NOT NULL)) AS num_pairs,
+         max(rt) AS right_type,
+         list_sort(list_distinct(list(owner))) AS all_names,
+         list_sort(list_distinct(list(rt || ' ' || owner))) AS pairs
   FROM rights GROUP BY doc_id)
 SELECT p.doc_id,
   CASE
-    WHEN g.n_owners IS NULL OR g.n_owners = 0 THEN
+    WHEN g.n_all IS NULL THEN
       CASE WHEN p.category IN ('Земли лесного фонда', 'Земли водного фонда')
            THEN 'Собственность РФ'
            ELSE 'Администрация Калининского района' END
-    WHEN g.right_type = 'Долевая собственность' AND g.n_owners = 1
-      THEN g.right_type || ' ' || g.names[1]
-    WHEN g.right_type = 'Долевая собственность' AND g.n_owners = 2 AND g.has_shares = 1
-      THEN g.right_type || ' ' || array_to_string(g.names[1:2], ', ')
+    WHEN g.right_type = 'Долевая собственность' AND g.n_type_rows = 1 AND g.n_rows = 1
+      THEN 'Долевая собственность ' || g.names[1]
+    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0
+         AND g.n_ga = g.n_rows AND g.n_rows <= 2
+      THEN 'Долевая собственность ' || array_to_string(g.ga_pairs, ', ')
+    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0 AND g.n_ga = g.n_rows
+      THEN 'Долевая собственность (' || g.n_owners || ' правообладателей)'
+    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0 AND g.n_dolei > 0
+         AND g.n_owners > 2
+      THEN 'Долевая собственность (' || g.max_den || ' долей; ' || g.n_owners || ' правообладателей)'
+    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0 AND g.n_dolei > 0
+         AND g.n_owners = 2
+      THEN 'Долевая собственность ' || array_to_string(g.names[1:2], ', ')
            || ' (' || g.max_den || ' долей)'
-    WHEN g.right_type = 'Долевая собственность' AND g.n_owners = 2
-      THEN g.right_type || ' (' || array_to_string(g.names_uc[1:2], ', ') || ')'
-    WHEN g.right_type = 'Долевая собственность' AND g.has_shares = 1
-      THEN g.right_type || ' (' || g.max_den || ' долей; ' || g.n_owners || ' правообладателей)'
-    WHEN g.right_type = 'Долевая собственность'
-      THEN g.right_type || ' (' || g.n_owners || ' правообладателей)'
+    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0 AND g.n_dolei > 0
+      THEN ''
+    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0 AND g.n_owners > 2
+      THEN 'Долевая собственность (' || g.n_owners || ' правообладателей)'
+    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0
+      THEN 'Долевая собственность (' || array_to_string(g.names_uc, ', ') || ')'
+    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei > 0 AND g.n_owners = 1
+         AND g.n_rows <= 2
+      THEN 'Долевая собственность (' || g.max_den || ' долей)' || g.names[1]
+    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei > 0 AND g.n_owners = 1
+      THEN ''
+    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei > 0 AND g.n_rows > 2
+      THEN 'Долевая собственность (' || g.max_den || ' долей; ' || g.n_owners || ' правообладателей)'
+    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei > 0 AND g.n_rows = 1
+      THEN 'Долевая собственность ' || g.num_pairs[1]
+    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei >= 2
+      THEN 'Долевая собственность: ' || array_to_string(g.num_pairs, ', ')
+    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei > 0
+      THEN ''
+    WHEN g.right_type = 'Долевая собственность' AND g.n_owners > 0
+      THEN 'Долевая собственность (' || g.n_owners || ' правообладателей)'
+    WHEN g.right_type = 'Долевая собственность' AND g.n_rows = 0
+      THEN g.right_type
     WHEN g.right_type = 'Совместная собственность'
-      THEN g.right_type || ' ' || array_to_string(g.names, ', ')
+      THEN g.right_type || ' ' || array_to_string(g.all_names, ', ')
     ELSE array_to_string(g.pairs, ', ')
   END AS owner
 FROM par p LEFT JOIN g USING (doc_id)

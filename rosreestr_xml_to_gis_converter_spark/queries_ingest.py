@@ -209,15 +209,19 @@ def ingest_owner_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # owners are 'OWNER-{d}-{k}' (initcap -> 'Owner-{d}-{k}'), all rights are
-# shared ownership with denominator d%9+2; the matrix branches on owner
-# count d%3+1 (operators/attrs.py <- real_estate.py:381-452)
+# shared ownership with share text '{k+1}/{d%9+2}'; the matrix branches on
+# owner count d%3+1 (operators/attrs.py <- real_estate.py:381-452):
+# 1 owner -> B1 'type owner'; 2 owners with 2 numeric shares -> B3e
+# 'type: d1 N1, d2 N2'; 3 owners -> B3c count text
 INGEST_OWNER_STRINGS_SQL = """
 SELECT doc_id,
        CASE doc_id % 3
          WHEN 0 THEN 'Долевая собственность Owner-' || CAST(doc_id AS VARCHAR) || '-0'
-         WHEN 1 THEN 'Долевая собственность Owner-' || CAST(doc_id AS VARCHAR)
-                     || '-0, Owner-' || CAST(doc_id AS VARCHAR) || '-1 ('
-                     || CAST(doc_id % 9 + 2 AS VARCHAR) || ' долей)'
+         WHEN 1 THEN 'Долевая собственность: '
+                     || '1/' || CAST(doc_id % 9 + 2 AS VARCHAR)
+                     || ' Owner-' || CAST(doc_id AS VARCHAR) || '-0, '
+                     || '2/' || CAST(doc_id % 9 + 2 AS VARCHAR)
+                     || ' Owner-' || CAST(doc_id AS VARCHAR) || '-1'
          ELSE 'Долевая собственность (' || CAST(doc_id % 9 + 2 AS VARCHAR)
               || ' долей; 3 правообладателей)'
        END AS owner,

@@ -196,7 +196,11 @@ def test_rights_to_owner_summary_end_to_end(spark):
             rt, parcels.select("doc_id", "category", "district_name")
         ).collect()
     }
-    assert out["sh.xml"] == "Долевая собственность Иванов Иван Иванович, Петров Петр Петрович (4 долей)"
+    # 2 owner rows with 2 numeric shares -> the reference's B3e form
+    # 'type: d1 N1, d2 N2' (real_estate.py:418-420)
+    assert out["sh.xml"] == (
+        "Долевая собственность: 1/4 Иванов Иван Иванович, 3/4 Петров Петр Петрович"
+    )
     assert out["jt.xml"] == "Совместная собственность Сидоров Борис Иванович, Сидорова Анна Петровна"
     assert out["fo.xml"] == "Собственность РФ"  # no rights + forest fund
 
