@@ -62,6 +62,8 @@ _TAIL = [
     "dedup_simhash",                   # organic rows-only; planted twin in window
     "dedup_embedding",                 # organic rows-only; planted twin in window
     "sim_ann_lsh",                     # organic rows-only; planted twin in window
+    "sim_ann_ivf_planted",             # round-3 IVF path; oracle present, window
+                                       # full — exact parity proven in pytest
     "image_validate",                  # rows-only; image_invariants has the oracle
     "image_features",                  # rows-only; image_invariants has the oracle
 ]

@@ -14,6 +14,13 @@ division + sqrt with fixed operand order.
   signature-prefix buckets, exact re-rank inside the bucket.  Trades
   recall for a ~bucket-count fan-in reduction; recall is measured in
   tests against ``cosine_topk``.
+* ``ivf_topk``      — IVF (inverted-file) ANN: a k-means coarse quantizer
+  (pyspark.ml, JVM-distributed Lloyd iterations) partitions the corpus
+  into cells; each query probes its ``nprobe`` nearest cells and exact
+  re-ranks inside them.  Cell assignment and probe selection are pure
+  Column arithmetic over the (small, quantized) centroid literal array —
+  the index scan is an equi-join on ``cell``, the same
+  shuffle-once-then-prune shape as the spatial join.
 """
 
 from __future__ import annotations
@@ -118,6 +125,105 @@ def lsh_topk(
     )
     qp = q.select("query_id", "qqv", "qqn", probes.alias("sig"))
     pairs = e.join(F.broadcast(qp), "sig").filter(F.col("cand_id") != F.col("query_id"))
+    cos = _dot(F.col("qv"), F.col("qqv")) / F.sqrt(F.col("qn") * F.col("qqn"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        pairs.select("query_id", "cand_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "cand_id"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", "cosine")
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    seed: int = 7,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: distributed k-means (pyspark.ml,
+    k-means|| init) over the embedding column.  Returns the (n_cells, dim)
+    centroid matrix — the small index artifact a production deployment
+    would persist next to the table."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = emb.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v"))
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_v", predictionCol="_cell"
+    ).fit(v)
+    return np.asarray(model.clusterCenters())
+
+
+def _centroid_structs(centroids: np.ndarray) -> Column:
+    """Quantized centroid literal array [(cid, qc array)] — cell counts are
+    small (sqrt-of-corpus scale), so inlining keeps assignment in codegen."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(float(round(x * SCALE))) for x in c]).alias("qc"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+
+
+def _cell_scores(qv: Column, cent: Column) -> Column:
+    """(dist, cid) structs per centroid; exact integer L2 on quantized
+    vectors, lexicographic struct sort == (dist ASC, cid ASC)."""
+    return F.transform(
+        cent,
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(qv, c["qc"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus rows carry their nearest-centroid cell,
+    queries probe their ``nprobe`` nearest cells, exact cosine re-rank
+    inside the probed cells.
+
+    Scale shape: assignment is per-row codegen (no shuffle of the corpus
+    beyond the one equi-join on ``cell``); a production layout bucketing
+    the table BY cell makes the probe a partition-pruned scan.  A query's
+    own cell is always its rank-1 probe, so an exact duplicate of a query
+    is found with certainty at any ``nprobe >= 1`` (the planted-twin gate
+    invariant)."""
+    cent = _centroid_structs(centroids)
+    e = emb.select(
+        F.col(id_col).alias("cand_id"), _quantized(F.col(vec_col)).alias("qv")
+    ).withColumn(
+        "cell", F.array_min(_cell_scores(F.col("qv"), cent))["cid"]
+    ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _quantized(F.col(vec_col)).alias("qqv")
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cell_scores(F.col("qqv"), cent)), 1, nprobe),
+                lambda s: s["cid"],
+            )
+        ),
+    ).withColumn("qqn", _dot(F.col("qqv"), F.col("qqv")))
+    pairs = e.join(F.broadcast(q), "cell").filter(F.col("cand_id") != F.col("query_id"))
     cos = _dot(F.col("qv"), F.col("qqv")) / F.sqrt(F.col("qn") * F.col("qqn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
     return (

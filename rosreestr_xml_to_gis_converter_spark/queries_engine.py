@@ -871,6 +871,25 @@ FROM embeddings WHERE vec_id < {_N_QUERIES}
 """
 
 
+def sim_ann_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + probed-cell re-rank): a query's
+    exact twin shares its cell and the query's own cell is always probed,
+    so the twin MUST surface at rank 1 with cosine exactly 1.0 — stated
+    directly by the oracle, independent of the learned centroids."""
+    emb = _with_twins(load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), "vec_id")
+    cents = similarity.ivf_centroids(emb, n_cells=16, seed=7, max_iter=3)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES)
+    out = similarity.ivf_topk(emb, q, k=_TOPK, centroids=cents, nprobe=4)
+    return out.filter(F.col("cand_id") == F.col("query_id") + _TWIN_OFFSET)
+
+
+SIM_ANN_IVF_PLANTED_SQL = f"""
+SELECT vec_id AS query_id, vec_id + {_TWIN_OFFSET} AS cand_id,
+       CAST(1 AS BIGINT) AS rank, CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
 ENGINE_QUERIES = {
     "cell_encode": cell_encode,
     "flagship_spatial_join": flagship_spatial_join,
@@ -897,6 +916,7 @@ ENGINE_QUERIES = {
     "sim_ann_cosine": sim_ann_cosine,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_lsh_planted": sim_ann_lsh_planted,
+    "sim_ann_ivf_planted": sim_ann_ivf_planted,
     "text_langid": text_langid,
     "text_tokens": text_tokens,
     "text_quality": text_quality,
@@ -925,6 +945,7 @@ ENGINE_ORACLES = {
     "dedup_embedding_planted": DEDUP_EMBEDDING_PLANTED_SQL,
     "sim_ann_cosine": SIM_COSINE_SQL,
     "sim_ann_lsh_planted": SIM_ANN_LSH_PLANTED_SQL,
+    "sim_ann_ivf_planted": SIM_ANN_IVF_PLANTED_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_quality": TEXT_QUALITY_SQL,

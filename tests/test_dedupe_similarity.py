@@ -161,3 +161,38 @@ def test_embedding_near_dup_pairs_find_planted(spark, emb):
     planted = {(i - 1, i) for i in range(6, 120, 6)}
     got = set(zip(out["id_a"], out["id_b"]))
     assert len(planted & got) / len(planted) >= 0.7
+
+
+def test_ivf_topk_planted_and_recall(spark, emb):
+    """IVF ANN: (a) an exact twin of each query must surface at rank 1
+    with cosine exactly 1.0 (the query's own cell is always probed);
+    (b) for the planted perturbed pairs, IVF agrees with exact brute
+    force at rank 1 with high recall."""
+    from rosreestr_xml_to_gis_converter_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    cents = ivf_centroids(emb, n_cells=6, seed=3, max_iter=4)
+    assert cents.shape == (6, 32)
+
+    # (a) planted exact twins
+    twins = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    both = emb.select("vec_id", "embedding").unionByName(twins)
+    queries = both.filter(F.col("vec_id") < 5)
+    got = ivf_topk(both, queries, k=1, centroids=cents, nprobe=1).toPandas()
+    assert len(got) == 5
+    for _, r in got.iterrows():
+        assert r["rank"] == 1 and r.cand_id == r.query_id + 1000
+        assert r.cosine == 1.0
+
+    # (b) perturbed-pair recall vs brute force
+    from rosreestr_xml_to_gis_converter_spark.operators.similarity import cosine_topk
+
+    planted_ids = list(range(6, 120, 6))
+    q2 = emb.filter(F.col("vec_id").isin(planted_ids))
+    ivf = ivf_topk(emb, q2, k=1, centroids=cents, nprobe=3).toPandas()
+    brute = cosine_topk(emb, q2, k=1).toPandas()
+    bm = dict(zip(brute["query_id"], brute["cand_id"]))
+    hits = sum(1 for _, r in ivf.iterrows() if r["rank"] == 1 and bm[r.query_id] == r.cand_id)
+    assert hits / len(planted_ids) >= 0.9, hits
