@@ -78,3 +78,51 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_images")
         spark.sql("DROP TABLE IF EXISTS b_cover")
+
+
+def test_ivf_topk_plan_broadcast_no_python(spark):
+    """IVF ANN (round 3): cell assignment / probe selection are codegen'd
+    Column arithmetic over the centroid literal array, the query side is
+    broadcast, and NO Python stage appears anywhere in the plan — the
+    corpus is touched only by JVM expressions."""
+    import numpy as np
+
+    from rosreestr_xml_to_gis_converter_spark.operators.similarity import ivf_topk
+
+    emb = spark.range(0, 2000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), i -> CAST(pmod(id * i, 97) + 1 AS FLOAT) / 97.0) AS embedding",
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    cents = np.random.default_rng(5).standard_normal((4, 8))
+    pc = plan_checks(ivf_topk(emb, q, k=3, centroids=cents, nprobe=2), execute=True)
+    assert pc.python_stages() == 0
+    assert pc.has_broadcast_join()
+
+
+def test_owner_summary_plan_no_python(spark):
+    """The full owner branch tree (round 3) stays entirely JVM-side:
+    one aggregation over the rights rows (collect_set/collect_list via
+    ObjectHashAggregate), no Python stage, no cartesian product."""
+    import pandas as pd
+
+    from rosreestr_xml_to_gis_converter_spark.operators.attrs import owner_summary
+
+    rights = spark.createDataFrame(
+        pd.DataFrame(
+            [("d1", "Долевая собственность", "A", 2, "1/2")],
+            columns=["doc_id", "right_type", "owner", "share_den", "share_text"],
+        ),
+        schema="doc_id string, right_type string, owner string, "
+        "share_den long, share_text string",
+    )
+    parcels = spark.createDataFrame(
+        pd.DataFrame(
+            [("d1", "Прочее", "Калининский")],
+            columns=["doc_id", "category", "district_name"],
+        )
+    )
+    pc = plan_checks(owner_summary(rights, parcels), execute=True)
+    assert pc.python_stages() == 0
+    assert "CartesianProduct" not in pc.final
+    assert "ObjectHashAggregate" in pc.final or "SortAggregate" in pc.final
