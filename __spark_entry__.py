@@ -64,6 +64,10 @@ _TAIL = [
     "sim_ann_lsh",                     # organic rows-only; planted twin in window
     "sim_ann_ivf_planted",             # round-3 IVF path; oracle present, window
                                        # full — exact parity proven in pytest
+    "image_resize_planted",            # round-3 resize oracle; window full,
+                                       # exact parity proven in pytest
+    "ingest_zip_extract",              # round-3 S2 oracle; window full,
+                                       # exact parity proven in pytest
     "image_validate",                  # rows-only; image_invariants has the oracle
     "image_features",                  # rows-only; image_invariants has the oracle
 ]

@@ -538,6 +538,61 @@ FROM documents WHERE doc_id < {_N_PLANTED_IMGS}
 """
 
 
+def image_resize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_images through the REAL box-average kernel + PNG re-encode,
+    with an exact oracle: resizing the 16x16 x-gradient (gray = 16x + d%16)
+    to 8x8 averages column pairs exactly — output pixel (0, j) is
+    32j + 8 + d%16, an integer, so the round/clip/encode/decode round
+    trip is lossless and SQL states every decoded byte."""
+    import numpy as np
+
+    from rosreestr_xml_to_gis_converter_spark.functions.imaging import encode_image
+    from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import resize_images
+    from rosreestr_xml_to_gis_converter_spark.schemas import IMAGES_SCHEMA
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grad = np.broadcast_to(
+                    (np.arange(16, dtype=np.uint8) * 16 + d % 16)[None, :, None],
+                    (16, 16, 3),
+                ).copy()
+                rows.append(
+                    (f"rimg-{d}", encode_image(grad, "png"), 16, 16, "png", f"r {d}", d)
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+            )
+
+    small = resize_images(docs.mapInPandas(gen, schema=IMAGES_SCHEMA), 8, 8)
+
+    def px_row(it):
+        from rosreestr_xml_to_gis_converter_spark.functions.imaging import decode_png
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = decode_png(bytes(r.bytes))
+                for j in range(arr.shape[1]):
+                    rows.append((r.image_id, r.w, r.h, j, int(arr[0, j, 0])))
+            yield pd.DataFrame(rows, columns=["image_id", "w", "h", "j", "v"])
+
+    return small.mapInPandas(px_row, "image_id string, w int, h int, j int, v int")
+
+
+IMAGE_RESIZE_PLANTED_SQL = """
+SELECT 'rimg-' || CAST(doc_id AS VARCHAR) AS image_id,
+       CAST(8 AS INT) AS w, CAST(8 AS INT) AS h, CAST(j AS INT) AS j,
+       CAST(32 * j + 8 + doc_id % 16 AS INT) AS v
+FROM documents, unnest(range(0, 8)) AS t(j)
+WHERE doc_id < 100
+"""
+
+
 def image_validate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import (
         validate_images,
@@ -902,6 +957,7 @@ ENGINE_QUERIES = {
     "stream_window_counts": stream_window_counts,
     "tile_masks": tile_masks_q,
     "image_invariants": image_invariants,
+    "image_resize_planted": image_resize_planted,
     "image_validate": image_validate_q,
     "image_features": image_features_q,
     "video_frame_sample": video_frame_sample,
@@ -937,6 +993,7 @@ ENGINE_ORACLES = {
     "stream_window_counts": STREAM_WINDOW_SQL,
     "tile_masks": TILE_MASKS_SQL,
     "image_invariants": IMAGE_INVARIANTS_SQL,
+    "image_resize_planted": IMAGE_RESIZE_PLANTED_SQL,
     "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,

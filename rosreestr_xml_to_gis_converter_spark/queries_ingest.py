@@ -341,6 +341,63 @@ FROM documents WHERE doc_id < {_N_DOCS}
 INGEST_OCC_ADDRESS_SQL = _occ_address_sql()
 
 
+def ingest_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end: two-level ZIP archives (outer zip holding a nested
+    inner zip, a level-1 XML, and a .sig companion) -> distributed
+    extract_zip_contents (.sig dropped, nested members surfaced) ->
+    parse_extracts; member provenance and cadastral numbers are
+    recomputable in SQL (mirrors logic.py:83-93, main.py:149-175)."""
+    import io
+    import zipfile
+
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import kvzu_xml
+    from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import (
+        extract_zip_contents,
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                inner_buf = io.BytesIO()
+                with zipfile.ZipFile(inner_buf, "w") as zi:
+                    zi.writestr(f"doc-{d}-a.xml", kvzu_xml(f"50:10:{d}:1", [sq]))
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zo:
+                    zo.writestr("inner.zip", inner_buf.getvalue())
+                    zo.writestr(f"doc-{d}-b.xml", kvzu_xml(f"50:20:{d}:2", [sq]))
+                    zo.writestr(f"doc-{d}-b.xml.sig", b"signature-bytes")
+                rows.append((f"arch-{d}.zip", buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+    files = extract_zip_contents(docs.mapInPandas(gen, schema="path string, content binary"))
+    parsed = parse_extracts(files)
+    return parsed.select(
+        F.regexp_extract("doc_id", r"arch-(\d+)\.zip", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("doc_id", r"-(a|b)\.xml$", 1).alias("member"),
+        (F.regexp_extract("doc_id", r"!inner\.zip!", 0) != "").alias("nested"),
+        "cad_number",
+    )
+
+
+INGEST_ZIP_EXTRACT_SQL = """
+SELECT doc_id, m AS member, m = 'a' AS nested,
+       CASE WHEN m = 'a' THEN '50:10:' || CAST(doc_id AS VARCHAR) || ':1'
+            ELSE '50:20:' || CAST(doc_id AS VARCHAR) || ':2' END AS cad_number
+FROM documents, unnest(['a', 'b']) AS t(m)
+WHERE doc_id < 200
+"""
+
+
 INGEST_QUERIES = {
     "ingest_rename_plan": ingest_rename_plan,
     "ingest_kvzu_attrs": ingest_kvzu_attrs,
@@ -348,10 +405,12 @@ INGEST_QUERIES = {
     "ingest_multi_contour": ingest_multi_contour,
     "ingest_owner_strings": ingest_owner_strings,
     "ingest_occ_address": ingest_occ_address,
+    "ingest_zip_extract": ingest_zip_extract,
 }
 
 INGEST_ORACLES = {
     "ingest_occ_address": INGEST_OCC_ADDRESS_SQL,
+    "ingest_zip_extract": INGEST_ZIP_EXTRACT_SQL,
     "ingest_rename_plan": INGEST_RENAME_SQL,
     "ingest_owner_strings": INGEST_OWNER_STRINGS_SQL,
     "ingest_kvzu_attrs": INGEST_KVZU_ATTRS_SQL,
