@@ -68,6 +68,10 @@ _TAIL = [
                                        # exact parity proven in pytest
     "ingest_zip_extract",              # round-3 S2 oracle; window full,
                                        # exact parity proven in pytest
+    "stream_user_totals",              # round-3 stateful-stream batch twin;
+                                       # window full, parity in pytest
+    "stream_lww_winner",               # round-3 LWW-stream batch twin;
+                                       # window full, parity in pytest
     "image_validate",                  # rows-only; image_invariants has the oracle
     "image_features",                  # rows-only; image_invariants has the oracle
 ]

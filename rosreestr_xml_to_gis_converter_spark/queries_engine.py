@@ -366,6 +366,46 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stateful_user_totals' FINAL state (the
+    applyInPandasWithState operator; stream/batch state parity is proven
+    in tests/test_streaming.py)."""
+    from rosreestr_xml_to_gis_converter_spark.streaming.events import user_totals_batch
+
+    return user_totals_batch(load(spark, sf_dir, "events"))
+
+
+STREAM_USER_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_total,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY user_id
+"""
+
+
+def stream_lww_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stream_lww_upsert's final per-key state
+    (last-writer-wins by (ts, event_id) — G4's streaming generalization;
+    parity with the stateful stream is proven in tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+STREAM_LWW_WINNER_SQL = """
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 # --- tiling ------------------------------------------------------------------
 
 _TILE_PX = 16
@@ -955,6 +995,8 @@ ENGINE_QUERIES = {
     "knn_parcels_literal": knn_parcels_literal,
     "a1_owner_matrix": a1_owner_matrix,
     "stream_window_counts": stream_window_counts,
+    "stream_user_totals": stream_user_totals,
+    "stream_lww_winner": stream_lww_winner,
     "tile_masks": tile_masks_q,
     "image_invariants": image_invariants,
     "image_resize_planted": image_resize_planted,
@@ -991,6 +1033,8 @@ ENGINE_ORACLES = {
     "knn_parcels_literal": KNN_LITERAL_SQL,
     "a1_owner_matrix": A1_OWNER_MATRIX_SQL,
     "stream_window_counts": STREAM_WINDOW_SQL,
+    "stream_user_totals": STREAM_USER_TOTALS_SQL,
+    "stream_lww_winner": STREAM_LWW_WINNER_SQL,
     "tile_masks": TILE_MASKS_SQL,
     "image_invariants": IMAGE_INVARIANTS_SQL,
     "image_resize_planted": IMAGE_RESIZE_PLANTED_SQL,
