@@ -72,6 +72,8 @@ _TAIL = [
                                        # window full, parity in pytest
     "stream_lww_winner",               # round-3 LWW-stream batch twin;
                                        # window full, parity in pytest
+    "ingest_export_roundtrip",         # round-3 K2 XLSX write+re-read oracle;
+                                       # window full, parity in pytest
     "image_validate",                  # rows-only; image_invariants has the oracle
     "image_features",                  # rows-only; image_invariants has the oracle
 ]

@@ -398,6 +398,76 @@ WHERE doc_id < 200
 """
 
 
+_XLSX_COLS = [
+    "cad_number", "parent_cad_number", "area", "address", "status",
+    "category", "permitted_use", "owner", "own_name_reg_numb_date",
+    "encumbrances_str", "enc_name_reg_numb_date_duration", "special",
+    "date_reg", "extract_date", "estate_objects_str", "cadastral_cost",
+    "obj_type",
+]
+
+
+def ingest_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 end-to-end: XML corpus -> parse -> finalize -> XLSX export
+    (pure-python OOXML writer, main.py:416-454 layout) -> re-read the
+    workbook -> every attribute cell recomputed exactly in SQL.  The
+    export is the reference's final mile (driver-side stream); the
+    re-read proves the written workbook, not just the DataFrame."""
+    import os
+    import tempfile
+
+    from rosreestr_xml_to_gis_converter_spark.pipeline import export_outputs
+    from rosreestr_xml_to_gis_converter_spark.sinks.xlsx import read_xlsx_rows
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    parcels = parse_extracts(_kvzu_corpus(docs))
+    out_dir = tempfile.mkdtemp(prefix="gate_export_")
+    export_outputs(parcels, out_dir)
+    rows = read_xlsx_rows(os.path.join(out_dir, "real_estate_objects_EGRN.xlsx"))[1:]
+    pdf = pd.DataFrame(rows, columns=_XLSX_COLS)
+    sdf = spark.createDataFrame(
+        pdf[
+            [
+                "cad_number", "area", "status", "permitted_use", "special",
+                "date_reg", "extract_date", "cadastral_cost", "owner",
+            ]
+        ].astype(str)
+    )
+    return sdf.withColumn(
+        "doc_id",
+        (
+            F.split("cad_number", ":")[2].cast("long") * 100
+            + F.split("cad_number", ":")[3].cast("long")
+        ),
+    )
+
+
+# the corpus state code is d%5 zero-padded; only '01' exists in the STATUS
+# classifier (01/05/06/07/08), everything else falls to the '-' default
+INGEST_EXPORT_SQL = """
+SELECT '69:10:' || CAST(doc_id // 100 AS VARCHAR) || ':' || CAST(doc_id % 100 AS VARCHAR) AS cad_number,
+       CAST(n_chars AS VARCHAR) AS area,
+       CASE WHEN doc_id % 5 = 1 THEN 'Ранее учтенный' ELSE '-' END AS status,
+       'use-' || CAST(doc_id % 7 AS VARCHAR) AS permitted_use,
+       'note-' || CAST(doc_id AS VARCHAR) AS special,
+       CASE WHEN doc_id % 3 = 0 THEN '31.12.1999' ELSE '17.05.2020' END AS date_reg,
+       '15.06.2023' AS extract_date,
+       CAST(doc_id AS VARCHAR) || '.25' AS cadastral_cost,
+       CASE doc_id % 3
+         WHEN 0 THEN 'Долевая собственность Owner-' || CAST(doc_id AS VARCHAR) || '-0'
+         WHEN 1 THEN 'Долевая собственность: '
+                     || '1/' || CAST(doc_id % 9 + 2 AS VARCHAR)
+                     || ' Owner-' || CAST(doc_id AS VARCHAR) || '-0, '
+                     || '2/' || CAST(doc_id % 9 + 2 AS VARCHAR)
+                     || ' Owner-' || CAST(doc_id AS VARCHAR) || '-1'
+         ELSE 'Долевая собственность (' || CAST(doc_id % 9 + 2 AS VARCHAR)
+              || ' долей; 3 правообладателей)'
+       END AS owner,
+       doc_id
+FROM documents WHERE doc_id < 150
+"""
+
+
 INGEST_QUERIES = {
     "ingest_rename_plan": ingest_rename_plan,
     "ingest_kvzu_attrs": ingest_kvzu_attrs,
@@ -406,9 +476,11 @@ INGEST_QUERIES = {
     "ingest_owner_strings": ingest_owner_strings,
     "ingest_occ_address": ingest_occ_address,
     "ingest_zip_extract": ingest_zip_extract,
+    "ingest_export_roundtrip": ingest_export_roundtrip,
 }
 
 INGEST_ORACLES = {
+    "ingest_export_roundtrip": INGEST_EXPORT_SQL,
     "ingest_occ_address": INGEST_OCC_ADDRESS_SQL,
     "ingest_zip_extract": INGEST_ZIP_EXTRACT_SQL,
     "ingest_rename_plan": INGEST_RENAME_SQL,
