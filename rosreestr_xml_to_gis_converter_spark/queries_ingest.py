@@ -468,6 +468,69 @@ FROM documents WHERE doc_id < 150
 """
 
 
+def ingest_shp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 end-to-end: XML corpus -> parse -> ESRI Shapefile export
+    (pure-python writer, main.py:379-414 layout) -> re-read the .shp/.dbf
+    -> cadastral key split, DBF attributes, and the geometry doubles
+    (ring vertex count + coordinate sums, orientation-invariant) all
+    recomputed exactly in SQL."""
+    import os
+    import tempfile
+
+    from rosreestr_xml_to_gis_converter_spark.pipeline import export_outputs
+    from rosreestr_xml_to_gis_converter_spark.sinks import read_shapefile
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    parcels = parse_extracts(_kvzu_corpus(docs))
+    out_dir = tempfile.mkdtemp(prefix="gate_shp_")
+    export_outputs(parcels, out_dir)
+    recs = read_shapefile(os.path.join(out_dir, "real_estate_objects_EGRN"))
+    rows = []
+    for rings, attrs in recs:
+        cad, parent, num_of_cont = attrs[0], attrs[1], attrs[2]
+        area, status, date_reg = attrs[3], attrs[5], attrs[13]
+        rows.append(
+            (
+                cad, parent, num_of_cont, float(area), status, str(date_reg),
+                len(rings), int(sum(len(r) for r in rings)),
+                float(sum(float(x) for r in rings for x, _ in r)),
+                float(sum(float(y) for r in rings for _, y in r)),
+            )
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "cad_number", "parent_cad_number", "num_of_cont", "area", "status",
+            "date_reg", "n_rings", "n_pts", "sx", "sy",
+        ],
+    )
+    sdf = spark.createDataFrame(pdf)
+    return sdf.withColumn(
+        "doc_id",
+        (
+            F.split("cad_number", ":")[2].cast("long") * 100
+            + F.split("cad_number", ":")[3].cast("long")
+        ),
+    )
+
+
+# the corpus square ring [[10,50],[14,50],[14,54],[10,54],[10,50]] has
+# coordinate sums 58/258 regardless of the orientation normalization;
+# the DBF 'D' field reads back as yyyymmdd text
+INGEST_SHP_SQL = """
+SELECT '69:10:' || CAST(doc_id // 100 AS VARCHAR) || ':' || CAST(doc_id % 100 AS VARCHAR) AS cad_number,
+       '' AS parent_cad_number,
+       '' AS num_of_cont,
+       CAST(n_chars AS DOUBLE) AS area,
+       CASE WHEN doc_id % 5 = 1 THEN 'Ранее учтенный' ELSE '-' END AS status,
+       CASE WHEN doc_id % 3 = 0 THEN '19991231' ELSE '20200517' END AS date_reg,
+       CAST(1 AS BIGINT) AS n_rings, CAST(5 AS BIGINT) AS n_pts,
+       CAST(58.0 AS DOUBLE) AS sx, CAST(258.0 AS DOUBLE) AS sy,
+       doc_id
+FROM documents WHERE doc_id < 150
+"""
+
+
 INGEST_QUERIES = {
     "ingest_rename_plan": ingest_rename_plan,
     "ingest_kvzu_attrs": ingest_kvzu_attrs,
@@ -477,10 +540,12 @@ INGEST_QUERIES = {
     "ingest_occ_address": ingest_occ_address,
     "ingest_zip_extract": ingest_zip_extract,
     "ingest_export_roundtrip": ingest_export_roundtrip,
+    "ingest_shp_roundtrip": ingest_shp_roundtrip,
 }
 
 INGEST_ORACLES = {
     "ingest_export_roundtrip": INGEST_EXPORT_SQL,
+    "ingest_shp_roundtrip": INGEST_SHP_SQL,
     "ingest_occ_address": INGEST_OCC_ADDRESS_SQL,
     "ingest_zip_extract": INGEST_ZIP_EXTRACT_SQL,
     "ingest_rename_plan": INGEST_RENAME_SQL,
