@@ -59,7 +59,11 @@ def main() -> None:
     results: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    REPS = 2  # best-of guards against host-contention spikes on shared VMs
+    # best-of guards against host-contention spikes on shared VMs; 3 reps
+    # because observed per-rep variance on this host reaches 1.4x even on
+    # an idle machine (round-3 measurements), and rep 1 additionally pays
+    # one-time costs (PreparedCover build, codegen) that best-of excludes
+    REPS = 3
 
     def run(name: str, fn) -> None:
         best = float("inf")
