@@ -161,3 +161,128 @@ def test_share_text_column_optional(spark):
     )
     got = {r.doc_id: r.owner for r in owner_summary(rights, parcels).collect()}
     assert got["d1"] == f"{SH} Иванов Иван"
+
+
+# --- randomized parity vs a sequential mirror --------------------------------
+
+def _py_initcap(s):
+    return " ".join(w[:1].upper() + w[1:].lower() for w in s.split(" "))
+
+
+def _concat_ws(*parts):
+    return " ".join(p for p in parts if p is not None)
+
+
+def _owner_reference(rows, category, district):
+    """Sequential mirror of operators/attrs.owner_summary (which mirrors
+    real_estate.py:183-452): same aggregates, same branch order, same
+    documented deviations (sorted lists, max-type gate)."""
+    def prop(t):
+        return t is not None and "пропорциональн" in t
+
+    nj = [r for r in rows if r[0] is not None and r[0] != JT]
+    numeric = [r for r in rows if r[0] == SH and r[2] is not None and not prop(r[3])]
+    ga = [
+        r for r in rows
+        if r[0] == SH and r[2] is None and r[3] is not None and not prop(r[3])
+    ]
+    n_all = len(rows)
+    n_type_rows = len(nj)
+    n_rows = len([r for r in nj if r[1] is not None])
+    n_owners = len({r[1].upper() for r in nj if r[1] is not None})
+    names = sorted({_py_initcap(r[1]) for r in nj if r[1] is not None})
+    names_uc = sorted({r[1].upper() for r in nj if r[1] is not None})
+    max_den = max((r[2] for r in numeric), default=None)
+    n_dolei, n_ga = len(numeric), len(ga)
+    ga_pairs = sorted(_concat_ws(r[3], r[1]) for r in ga)
+    num_pairs = sorted(
+        _concat_ws(r[3], _py_initcap(r[1]) if r[1] is not None else None)
+        for r in numeric
+    )
+    has_missing = any(r[1] is not None and r[1].upper() == MISSING for r in rows)
+    rts = [r[0] for r in rows if r[0] is not None]
+    right_type = max(rts) if rts else None
+    all_names = sorted({_py_initcap(r[1]) for r in rows if r[1] is not None})
+    pairs = sorted({_concat_ws(r[0], r[1]) for r in rows})
+
+    if n_all == 0:
+        if category in ("Земли лесного фонда", "Земли водного фонда"):
+            return "Собственность РФ"
+        return "Администрация Калининского района" if district == "Калининский" else ""
+    sh = right_type == SH
+    if sh and n_type_rows == 1 and n_rows == 1:
+        return _concat_ws(right_type, names[0])
+    if sh and n_ga > 0 and n_ga == n_rows and n_rows <= 2:
+        return SH + " " + ", ".join(ga_pairs)
+    if sh and n_ga > 0 and n_ga == n_rows:
+        return f"{SH} ({n_owners} правообладателей)"
+    if sh and n_ga > 0 and n_dolei > 0 and n_owners > 2:
+        return f"{SH} ({max_den} долей; {n_owners} правообладателей)"
+    if sh and n_ga > 0 and n_dolei > 0 and n_owners == 2:
+        return f"{SH} {', '.join(names[:2])} ({max_den} долей)"
+    if sh and n_ga > 0 and n_dolei > 0:
+        return ""
+    if sh and n_ga > 0 and n_owners > 2:
+        return f"{SH} ({n_owners} правообладателей)"
+    if sh and n_ga > 0:
+        return f"{SH} ({', '.join(names_uc)})"
+    if sh and n_dolei > 0 and n_owners == 1 and has_missing:
+        return f"{SH} ({max_den} долей; данные о правообладателях отсутствуют)"
+    if sh and n_dolei > 0 and n_owners == 1 and n_rows <= 2:
+        return f"{SH} ({max_den} долей){names[0]}"
+    if sh and n_dolei > 0 and n_owners == 1:
+        return ""
+    if sh and n_dolei > 0 and n_rows > 2:
+        return f"{SH} ({max_den} долей; {n_owners} правообладателей)"
+    if sh and n_dolei > 0 and n_rows == 1:
+        return f"{SH} {num_pairs[0]}"
+    if sh and n_dolei >= 2:
+        return f"{SH}: {', '.join(num_pairs)}"
+    if sh and n_dolei > 0:
+        return ""
+    if sh and n_owners > 0:
+        return f"{SH} ({n_owners} правообладателей)"
+    if sh and n_rows == 0:
+        return right_type
+    if right_type == JT:
+        return JT + " " + ", ".join(all_names)
+    return ", ".join(pairs)
+
+
+def test_randomized_parity_vs_sequential_mirror(spark):
+    """300 random docs spanning the whole branch space, one Spark job,
+    compared doc-by-doc against the sequential mirror (seeded -> exactly
+    reproducible)."""
+    import random
+
+    rng = random.Random(20260817)
+    types = [SH, SH, SH, JT, "Собственность", None]
+    owners = [None, "иванов иван", "ПЕТРОВ ПЁТР", "Сидоров Олег", "Андреев Юрий", MISSING]
+    docs = {}
+    rights_rows, parcels_rows = [], []
+    for i in range(300):
+        did = f"doc{i}"
+        n = rng.randint(0, 5)
+        rows = []
+        for _ in range(n):
+            rt = rng.choice(types)
+            owner = rng.choice(owners)
+            kind = rng.randint(0, 3)
+            if kind == 0:
+                den, text = None, None
+            elif kind == 1:
+                den = rng.choice([2, 5, 150])
+                text = f"1/{den}"
+            elif kind == 2:
+                den, text = None, rng.choice(["10 га", "0.5 га"])
+            else:
+                den, text = None, "пропорционально размеру общей площади"
+            rows.append((rt, owner, den, text))
+            rights_rows.append((did, rt, owner, den, text))
+        category = rng.choice(["Земли лесного фонда", "Прочее"])
+        parcels_rows.append((did, category, "Калининский"))
+        docs[did] = _owner_reference(rows, category, "Калининский")
+
+    got = _run(spark, rights_rows, parcels_rows)
+    mismatches = {d: (got[d], docs[d]) for d in docs if got[d] != docs[d]}
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
