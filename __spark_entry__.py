@@ -76,6 +76,8 @@ _TAIL = [
                                        # window full, parity in pytest
     "ingest_shp_roundtrip",            # round-3 K1 SHP write+re-read oracle;
                                        # window full, parity in pytest
+    "ingest_egrn_owner",               # round-3 EGRN owner-tree oracle;
+                                       # window full, parity in pytest
     "image_validate",                  # rows-only; image_invariants has the oracle
     "image_features",                  # rows-only; image_invariants has the oracle
 ]

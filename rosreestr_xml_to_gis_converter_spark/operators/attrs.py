@@ -46,6 +46,21 @@ Distinct-owner counts use UPPER-cased names (set_dolevikov, :352-357);
 emitted names are initcap'd (list_dolevikov_new .title(), :358-361);
 share count = max of denominators (:394,408,413,438).
 
+The EGRN extract family has its OWN owner tree (:1076-1239), keyed on the
+label 'Общая долевая собственность' and reproduced with its quirks:
+  >2 holders w/ denominators -> 'type(D долей; N правообладателей)'
+                                 (no space before the paren, :1222-1223)
+  >2 holders, no denominators -> 'type ; N правообладателей)'
+                                 (stray closing paren, :1224-1225)
+  2 holders w/ 2 or 0 shares  -> 'type: [s1 ]h1, [s2 ]h2'
+  1 holder                    -> 'type: [s1 ]h1'
+  other combinations          -> ''   (unhandled in the reference)
+  shared records, no holders  -> the bare type (:1237)
+EGRN counts are row counts (duplicates kept, no case folding) and names
+are emitted as-is; docs mixing EGRN-shared rights with non-shared
+holder rows fall to the generic pairs join (:1215-1219 approximation,
+rows-model).
+
 Deliberate deviations (documented): name/pair lists are sorted for
 determinism (the reference keeps XML document order, which has no stable
 distributed equivalent), and the scalar type gate uses max(right_type)
@@ -59,6 +74,10 @@ from pyspark.sql import functions as F
 
 SHARED = "Долевая собственность"
 JOINT = "Совместная собственность"
+# EGRN extracts carry the label text directly, and the reference's EGRN
+# owner property (real_estate.py:1076-1239) is a DIFFERENT branch tree
+# from the KVZU matrix — keyed on this label:
+EGRN_SHARED = "Общая долевая собственность"
 
 
 def district_administration(district: Column) -> Column:
@@ -124,10 +143,43 @@ def owner_summary(rights: DataFrame, parcels: DataFrame) -> DataFrame:
         F.array_sort(
             F.collect_set(F.concat_ws(" ", F.col("right_type"), F.col("owner")))
         ).alias("pairs"),
+        # EGRN tree aggregates (real_estate.py:1210-1239); counts are ROW
+        # counts with duplicates and no case folding, names emitted as-is
+        F.count(
+            F.when((F.col("right_type") == EGRN_SHARED) & F.col("owner").isNotNull(), 1)
+        ).alias("eg_n"),
+        F.count(
+            F.when(
+                (F.col("right_type") == EGRN_SHARED)
+                & F.col("owner").isNotNull()
+                & F.col("share_text").isNotNull(),
+                1,
+            )
+        ).alias("eg_nshare"),
+        F.max(
+            F.when(F.col("right_type") == EGRN_SHARED, F.col("share_den"))
+        ).alias("eg_max_den"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    (F.col("right_type") == EGRN_SHARED) & F.col("owner").isNotNull(),
+                    F.concat_ws(" ", "share_text", "owner"),
+                )
+            )
+        ).alias("eg_pairs"),
+        F.count(
+            F.when(
+                F.col("right_type").isNotNull()
+                & (F.col("right_type") != EGRN_SHARED)
+                & F.col("owner").isNotNull(),
+                1,
+            )
+        ).alias("eg_n_other"),
     )
     j = parcels.join(g, "doc_id", "left")
 
     shared = F.col("right_type") == SHARED
+    egrn = (F.col("right_type") == EGRN_SHARED) & (F.col("eg_n_other") == 0)
     has_ga = F.col("n_ga") > 0
     has_dolei = F.col("n_dolei") > 0
     two_names = F.array_join(F.slice("names", 1, 2), ", ")
@@ -209,6 +261,38 @@ def owner_summary(rights: DataFrame, parcels: DataFrame) -> DataFrame:
         )
         # B4 (:426-431): right rows but zero owners -> bare type
         .when(shared & (F.col("n_rows") == 0), F.col("right_type"))
+        # EGRN tree (real_estate.py:1210-1239), applicable when the doc's
+        # rights carry the EGRN label and no non-shared holders exist
+        # (with non-shared holders the reference joins 'type holders'
+        # cells — approximated by the generic pairs fall-through below):
+        .when(
+            egrn & (F.col("eg_n") > 2) & F.col("eg_max_den").isNotNull(),
+            # the reference's no-space-before-paren quirk (:1222-1223)
+            F.concat(
+                F.col("right_type"), F.lit("("), F.col("eg_max_den"),
+                F.lit(" долей; "), F.col("eg_n"), F.lit(" правообладателей)"),
+            ),
+        )
+        .when(
+            egrn & (F.col("eg_n") > 2),
+            # the reference's stray-paren quirk (:1224-1225)
+            F.concat(
+                F.col("right_type"), F.lit(" ; "), F.col("eg_n"),
+                F.lit(" правообладателей)"),
+            ),
+        )
+        .when(
+            egrn & (F.col("eg_n") == 2) & F.col("eg_nshare").isin(0, 2),
+            F.concat(
+                F.col("right_type"), F.lit(": "), F.array_join("eg_pairs", ", ")
+            ),
+        )
+        .when(
+            egrn & (F.col("eg_n") == 1),
+            F.concat(F.col("right_type"), F.lit(": "), F.element_at("eg_pairs", 1)),
+        )
+        .when(egrn & (F.col("eg_n") > 0), F.lit(""))  # unhandled in the reference
+        .when(egrn, F.col("right_type"))  # shared records, zero holders (:1237)
         .when(
             F.col("right_type") == JOINT,
             F.concat(F.lit(JOINT + " "), F.array_join("all_names", ", ")),

@@ -398,6 +398,93 @@ WHERE doc_id < 200
 """
 
 
+def ingest_egrn_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EGRN owner tree END-TO-END (real_estate.py:1076-1239):
+    land_record extracts with 'Общая долевая собственность' right records
+    (1 holder per record; individual / municipality holder kinds) ->
+    parse -> rights_table -> owner_summary; doc_id % 4 spreads docs over
+    the single-holder, two-record, >2-record (no-space-paren quirk), and
+    no-share branches — every owner string recomputable in SQL."""
+    from rosreestr_xml_to_gis_converter_spark.operators.attrs import owner_summary
+    from rosreestr_xml_to_gis_converter_spark.pipeline import rights_table
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import (
+        egrn_right_records,
+        land_record_xml,
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+        eg = "Общая долевая собственность"
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                den = d % 7 + 2
+                v = d % 4
+                if v == 0:
+                    recs = [
+                        {"type": eg, "share": ("1", str(den)),
+                         "holders": [("individual", f"Egrnov-{d}-0 Ivan")]},
+                    ]
+                elif v == 1:
+                    recs = [
+                        {"type": eg, "share": (str(k + 1), str(den)),
+                         "holders": [("individual", f"Egrnov-{d}-{k} Ivan")]}
+                        for k in range(2)
+                    ]
+                elif v == 2:
+                    recs = [
+                        {"type": eg, "share": (str(k + 1), str(den)),
+                         "holders": [("individual", f"Egrnov-{d}-{k} Ivan")]}
+                        for k in range(3)
+                    ]
+                else:
+                    recs = [
+                        {"type": eg, "holders": [("municipality", f"Mun-{d}-{k}")]}
+                        for k in range(2)
+                    ]
+                xml = land_record_xml(
+                    f"50:9:{d}", [sq], right_records=egrn_right_records(recs)
+                )
+                rows.append((f"eg-{d}.xml", xml.encode()))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    files = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).mapInPandas(
+        gen, schema="path string, content binary"
+    )
+    parcels = parse_extracts(files)
+    own = owner_summary(
+        rights_table(parcels),
+        parcels.select("doc_id", F.lit("Прочее").alias("category"),
+                       F.lit("Калининский").alias("district_name")),
+    )
+    return own.select(
+        F.regexp_extract("doc_id", r"eg-(\d+)\.xml", 1).cast("long").alias("doc_id"),
+        "owner",
+    )
+
+
+INGEST_EGRN_OWNER_SQL = """
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'Общая долевая собственность: 1/' || CAST(doc_id % 7 + 2 AS VARCHAR)
+                || ' Egrnov-' || CAST(doc_id AS VARCHAR) || '-0 Ivan'
+    WHEN 1 THEN 'Общая долевая собственность: '
+                || '1/' || CAST(doc_id % 7 + 2 AS VARCHAR)
+                || ' Egrnov-' || CAST(doc_id AS VARCHAR) || '-0 Ivan, '
+                || '2/' || CAST(doc_id % 7 + 2 AS VARCHAR)
+                || ' Egrnov-' || CAST(doc_id AS VARCHAR) || '-1 Ivan'
+    WHEN 2 THEN 'Общая долевая собственность(' || CAST(doc_id % 7 + 2 AS VARCHAR)
+                || ' долей; 3 правообладателей)'
+    ELSE 'Общая долевая собственность: Mun-' || CAST(doc_id AS VARCHAR)
+         || '-0, Mun-' || CAST(doc_id AS VARCHAR) || '-1'
+  END AS owner
+FROM documents WHERE doc_id < 200
+"""
+
+
 _XLSX_COLS = [
     "cad_number", "parent_cad_number", "area", "address", "status",
     "category", "permitted_use", "owner", "own_name_reg_numb_date",
@@ -541,9 +628,11 @@ INGEST_QUERIES = {
     "ingest_zip_extract": ingest_zip_extract,
     "ingest_export_roundtrip": ingest_export_roundtrip,
     "ingest_shp_roundtrip": ingest_shp_roundtrip,
+    "ingest_egrn_owner": ingest_egrn_owner,
 }
 
 INGEST_ORACLES = {
+    "ingest_egrn_owner": INGEST_EGRN_OWNER_SQL,
     "ingest_export_roundtrip": INGEST_EXPORT_SQL,
     "ingest_shp_roundtrip": INGEST_SHP_SQL,
     "ingest_occ_address": INGEST_OCC_ADDRESS_SQL,

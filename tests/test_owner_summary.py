@@ -165,6 +165,9 @@ def test_share_text_column_optional(spark):
 
 # --- randomized parity vs a sequential mirror --------------------------------
 
+EG = "Общая долевая собственность"
+
+
 def _py_initcap(s):
     return " ".join(w[:1].upper() + w[1:].lower() for w in s.split(" "))
 
@@ -244,6 +247,28 @@ def _owner_reference(rows, category, district):
         return f"{SH} ({n_owners} правообладателей)"
     if sh and n_rows == 0:
         return right_type
+    eg_rows = [r for r in rows if r[0] == EG]
+    eg_hold = [r for r in eg_rows if r[1] is not None]
+    eg_n = len(eg_hold)
+    eg_nshare = len([r for r in eg_hold if r[3] is not None])
+    eg_dens = [r[2] for r in eg_rows if r[2] is not None]
+    eg_pairs = sorted(_concat_ws(r[3], r[1]) for r in eg_hold)
+    eg_other = len(
+        [r for r in rows if r[0] is not None and r[0] != EG and r[1] is not None]
+    )
+    egrn = right_type == EG and eg_other == 0
+    if egrn and eg_n > 2 and eg_dens:
+        return f"{EG}({max(eg_dens)} долей; {eg_n} правообладателей)"
+    if egrn and eg_n > 2:
+        return f"{EG} ; {eg_n} правообладателей)"
+    if egrn and eg_n == 2 and eg_nshare in (0, 2):
+        return f"{EG}: {', '.join(eg_pairs)}"
+    if egrn and eg_n == 1:
+        return f"{EG}: {eg_pairs[0]}"
+    if egrn and eg_n > 0:
+        return ""
+    if egrn:
+        return EG
     if right_type == JT:
         return JT + " " + ", ".join(all_names)
     return ", ".join(pairs)
@@ -256,7 +281,7 @@ def test_randomized_parity_vs_sequential_mirror(spark):
     import random
 
     rng = random.Random(20260817)
-    types = [SH, SH, SH, JT, "Собственность", None]
+    types = [SH, SH, SH, JT, "Собственность", None, EG, EG]
     owners = [None, "иванов иван", "ПЕТРОВ ПЁТР", "Сидоров Олег", "Андреев Юрий", MISSING]
     docs = {}
     rights_rows, parcels_rows = [], []
@@ -286,3 +311,42 @@ def test_randomized_parity_vs_sequential_mirror(spark):
     got = _run(spark, rights_rows, parcels_rows)
     mismatches = {d: (got[d], docs[d]) for d in docs if got[d] != docs[d]}
     assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
+
+
+def test_egrn_shared_branches(spark):
+    """The EGRN owner tree (real_estate.py:1210-1239) — one fixture per
+    branch, including the no-space-paren and stray-paren quirks."""
+    rights = [
+        # >2 holders with denominators -> 'type(D долей; N правообладателей)'
+        ("e1", EG, "Иванов Иван Иванович", 10, "1/10"),
+        ("e1", EG, "Петров Пётр Петрович", 10, "2/10"),
+        ("e1", EG, "Сидоров Олег", 10, "3/10"),
+        # >2 holders, no denominators -> 'type ; N правообладателей)'
+        ("e2", EG, "Иванов Иван", None, None),
+        ("e2", EG, "Петров Пётр", None, None),
+        ("e2", EG, "Сидоров Олег", None, None),
+        # 2 holders, 2 shares -> 'type: s1 h1, s2 h2'
+        ("e3", EG, "Иванов Иван", 5, "1/5"),
+        ("e3", EG, "Петров Пётр", 5, "4/5"),
+        # 2 holders, 0 shares -> 'type: h1, h2'
+        ("e4", EG, "Иванов Иван", None, None),
+        ("e4", EG, "Петров Пётр", None, None),
+        # 1 holder, 1 share -> 'type: s1 h1'
+        ("e5", EG, "ООО Поле ИНН: 7709", 5, "2/5"),
+        # 1 holder, no share -> 'type: h1'
+        ("e6", EG, "Иванов Иван", None, None),
+        # 2 holders, 1 share -> unhandled in the reference -> ''
+        ("e7", EG, "Иванов Иван", 3, "1/3"),
+        ("e7", EG, "Петров Пётр", None, None),
+        # shared records with zero holders -> the bare type (:1237)
+        ("e8", EG, None, 9, "1/9"),
+    ]
+    got = _run(spark, rights, _parcels([f"e{i}" for i in range(1, 9)]))
+    assert got["e1"] == f"{EG}(10 долей; 3 правообладателей)"
+    assert got["e2"] == f"{EG} ; 3 правообладателей)"
+    assert got["e3"] == f"{EG}: 1/5 Иванов Иван, 4/5 Петров Пётр"
+    assert got["e4"] == f"{EG}: Иванов Иван, Петров Пётр"
+    assert got["e5"] == f"{EG}: 2/5 ООО Поле ИНН: 7709"
+    assert got["e6"] == f"{EG}: Иванов Иван"
+    assert got["e7"] == ""
+    assert got["e8"] == EG
