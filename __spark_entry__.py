@@ -78,6 +78,8 @@ _TAIL = [
                                        # window full, parity in pytest
     "ingest_egrn_owner",               # round-3 EGRN owner-tree oracle;
                                        # window full, parity in pytest
+    "ingest_error_quarantine",         # round-3 M2 quarantine oracle;
+                                       # window full, parity in pytest
     "image_validate",                  # rows-only; image_invariants has the oracle
     "image_features",                  # rows-only; image_invariants has the oracle
 ]

@@ -485,6 +485,55 @@ FROM documents WHERE doc_id < 200
 """
 
 
+def ingest_error_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 end-to-end: a corpus mixing malformed XML, valid-but-unsupported
+    schemas, and good extracts -> parse_extracts; every failure must land
+    in the error bucket with its class (never fail the task —
+    main.py:33-49 log-and-continue), every good doc must parse.  Error
+    classes and row mix recomputable in SQL."""
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import kvzu_xml
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 3 == 0:
+                    content = b"<Parcels><broken "  # malformed
+                elif d % 3 == 1:
+                    content = b'<?xml version="1.0"?><SomethingElse><x/></SomethingElse>'
+                else:
+                    content = kvzu_xml(f"50:30:{d}:3", [sq]).encode()
+                rows.append((f"q-{d}.xml", content))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    files = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).mapInPandas(
+        gen, schema="path string, content binary"
+    )
+    parsed = parse_extracts(files)
+    return parsed.select(
+        F.regexp_extract("doc_id", r"q-(\d+)\.xml", 1).cast("long").alias("doc_id"),
+        F.when(F.col("error").startswith("parse_error"), "parse_error")
+        .when(F.col("error").isNotNull(), F.col("error"))
+        .otherwise("ok")
+        .alias("err_class"),
+        "cad_number",
+    )
+
+
+INGEST_ERROR_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'parse_error'
+            WHEN 1 THEN 'unsupported_schema' ELSE 'ok' END AS err_class,
+       CASE WHEN doc_id % 3 = 2
+            THEN '50:30:' || CAST(doc_id AS VARCHAR) || ':3' END AS cad_number
+FROM documents WHERE doc_id < 200
+"""
+
+
 _XLSX_COLS = [
     "cad_number", "parent_cad_number", "area", "address", "status",
     "category", "permitted_use", "owner", "own_name_reg_numb_date",
@@ -629,10 +678,12 @@ INGEST_QUERIES = {
     "ingest_export_roundtrip": ingest_export_roundtrip,
     "ingest_shp_roundtrip": ingest_shp_roundtrip,
     "ingest_egrn_owner": ingest_egrn_owner,
+    "ingest_error_quarantine": ingest_error_quarantine,
 }
 
 INGEST_ORACLES = {
     "ingest_egrn_owner": INGEST_EGRN_OWNER_SQL,
+    "ingest_error_quarantine": INGEST_ERROR_SQL,
     "ingest_export_roundtrip": INGEST_EXPORT_SQL,
     "ingest_shp_roundtrip": INGEST_SHP_SQL,
     "ingest_occ_address": INGEST_OCC_ADDRESS_SQL,
