@@ -243,9 +243,19 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH buckets +
     exact verify (the embedding analog of MinHash dedup).
+
+    ``bands=None`` buckets on the FULL signature — high precision, recall
+    only for near-identical vectors.  ``bands=k`` splits the signature
+    into k chunks and candidates collide on ANY chunk (OR-amplification,
+    exactly the MinHash banding move): per-band collision probability is
+    (1 - theta/pi)^(n_planes/k), so recall at a given cosine rises
+    steeply with k while the exact verify keeps precision.  Exact twins
+    collide in every band under either setting (the planted-gate
+    invariant).  Still an equi-self-join — scales the same way.
 
     Pass ``dim`` explicitly on large tables — the fallback probes one row
     driver-side to learn it."""
@@ -257,11 +267,37 @@ def embedding_near_dup_pairs(
         _quantized(F.col(vec_col)).alias("qv"),
         lsh_signature(F.col(vec_col), planes).alias("sig"),
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    if bands is not None and bands > 1:
+        width = n_planes // bands
+        mask = (1 << width) - 1
+        key = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * width).bitwiseAND(F.lit(mask)).alias("k"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        )
+        e = e.select("id", "qv", "qn", key.alias("bk")).select(
+            "id", "qv", "qn", F.col("bk.band").alias("band"), F.col("bk.k").alias("k")
+        )
+        join_cond_cols = ["band", "k"]
+    else:
+        e = e.withColumnRenamed("sig", "k")
+        join_cond_cols = ["k"]
     a = e.alias("a")
     b = e.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for c in join_cond_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     cos = _dot(F.col("a.qv"), F.col("b.qv")) / F.sqrt(F.col("a.qn") * F.col("b.qn"))
-    return (
-        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
+    out = (
+        a.join(b, cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
     )
+    if bands is not None and bands > 1:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out.filter(F.col("cosine") >= threshold)

@@ -760,8 +760,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Organic banded variant (OR-amplified recall at threshold 0.5 —
+    the driver corpus's most-similar organic pair sits at cosine 0.513;
+    the exact-recall evidence lives in dedup_embedding_planted)."""
     return similarity.embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.90, dim=64
+        load(spark, sf_dir, "embeddings"), threshold=0.5, dim=64, bands=3
     )
 
 

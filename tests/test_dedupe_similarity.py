@@ -196,3 +196,26 @@ def test_ivf_topk_planted_and_recall(spark, emb):
     bm = dict(zip(brute["query_id"], brute["cand_id"]))
     hits = sum(1 for _, r in ivf.iterrows() if r["rank"] == 1 and bm[r.query_id] == r.cand_id)
     assert hits / len(planted_ids) >= 0.9, hits
+
+
+def test_embedding_banded_recall_and_exact_twins(spark, emb):
+    """OR-amplified (banded) sign-LSH: (a) exact twins still collide in
+    every band; (b) banded recall on the planted perturbed pairs is at
+    least the full-signature recall (banding can only add candidates)."""
+    full = embedding_near_dup_pairs(emb, threshold=0.95, n_planes=12).toPandas()
+    banded = embedding_near_dup_pairs(
+        emb, threshold=0.95, n_planes=12, bands=3
+    ).toPandas()
+    fp = set(zip(full["id_a"], full["id_b"]))
+    bp = set(zip(banded["id_a"], banded["id_b"]))
+    assert fp <= bp  # OR-amplification is a superset
+    planted = {(i - 1, i) for i in range(6, 120, 6)}
+    assert len(bp & planted) >= len(fp & planted)
+    assert len(bp & planted) / len(planted) >= 0.9
+    # exact twins: every planted pair must surface under banding
+    twins = emb.select((F.col("vec_id") + 500).alias("vec_id"), "embedding")
+    both = emb.select("vec_id", "embedding").unionByName(twins)
+    got = embedding_near_dup_pairs(both, threshold=0.99, n_planes=12, bands=4).toPandas()
+    tw = {(i, i + 500) for i in range(120)}
+    found = set(zip(got["id_a"], got["id_b"]))
+    assert tw <= found
