@@ -5,17 +5,22 @@
 SURVEY.md section 2 with DuckDB oracles (rows-only for the ops whose
 hashing/engine internals SQL cannot express — see queries_engine.py).
 
-The driver checks the FIRST 50 queries in dict order (round-2 VERDICT:
-9 of 59 went unverified), so ordering is explicit here: every
-oracle-backed query — including the round-2 ingest work, the round-1
-hash-fail fixes (rollup/pivot/sessionization/topk), and the round-3
-planted oracles (tile_masks, image_invariants, dedup_simhash_planted,
-ingest_occ_address) — sits inside the first 50 keys.  The tail holds
-redundant re-proofs of already-green oracles (the salted/shuffled
-flagship variants and brute/literal kNN re-prove the same oracle) and
-the organic rows-only LSH/imaging entries whose correctness is carried
-by their planted twins in the window.  Tail queries remain fully
-runnable — only the driver's capped window skips them.
+The driver checks the FIRST 50 queries in dict order, so ordering is
+explicit here.  Standing rotation policy (round-3 VERDICT next-round #1):
+**every oracle-backed query enters the window in its birth round**; the
+entries demoted to make room are redundant re-proofs of oracles a window
+query already proves, or statically-green scalar queries whose evidence
+is carried by green driver rows in rounds 1-3 (noted per entry below).
+Round 4 rotates in the nine round-3 oracle queries that had never been
+driver-checked (ingest_zip_extract, ingest_export_roundtrip,
+ingest_shp_roundtrip, ingest_egrn_owner, ingest_error_quarantine,
+sim_ann_ivf_planted, image_resize_planted, stream_user_totals,
+stream_lww_winner) plus the two new round-4 oracles (knn_uncovered,
+checkpoint_lineage).  Rows-only organic variants whose recall evidence
+is carried by planted-oracle twins were removed from the registry
+entirely (round-3 VERDICT next-round #8) — the operators remain in the
+package and in bench.py.  Tail queries remain fully runnable — only the
+driver's capped window skips them.
 """
 
 from __future__ import annotations
@@ -48,40 +53,42 @@ from rosreestr_xml_to_gis_converter_spark.queries_ref import (  # noqa: E402
 
 DRIVER_WINDOW = 50
 
+# Removed from the registry entirely (round-3 VERDICT next-round #8):
+# rows-only organic variants carry no oracle signal in a capped gate; the
+# planted-oracle twins in the window prove the same recall paths exactly.
+# The operators stay in the package and keep their bench.py entries.
+_DROPPED = [
+    "dedup_minhash_lsh",   # planted twin: dedup_minhash_planted
+    "dedup_simhash",       # planted twin: dedup_simhash_planted
+    "dedup_embedding",     # planted twin: dedup_embedding_planted
+    "sim_ann_lsh",         # planted twin: sim_ann_lsh_planted
+    "image_validate",      # exact oracle twin: image_invariants
+    "image_features",      # exact oracle twin: image_invariants
+]
+
 # Deprioritized to the tail (positions > DRIVER_WINDOW): redundant
-# re-proofs of oracles that a window query already proves, plus organic
-# rows-only variants whose recall evidence is carried by planted twins.
+# re-proofs of oracles that a window query already proves, plus
+# statically-green scalar queries with green driver rows in three
+# consecutive rounds (r01+r02+r03) — demoted per the standing rotation
+# policy to make room for the round-3/4 oracle queries listed above.
 _TAIL = [
     "flagship_spatial_join_salted",    # same oracle as flagship_spatial_join
     "flagship_spatial_join_shuffle",   # same oracle as flagship_spatial_join
     "knn_parcels_brute",               # same oracle as knn_parcels
     "knn_parcels_literal",             # same oracle as knn_parcels
-    "setops",                          # green r02; generic SQL breadth
-    "cube_agg",                        # green r02; rollup_agg covers the family
-    "dedup_minhash_lsh",               # organic rows-only; planted twin in window
-    "dedup_simhash",                   # organic rows-only; planted twin in window
-    "dedup_embedding",                 # organic rows-only; planted twin in window
-    "sim_ann_lsh",                     # organic rows-only; planted twin in window
-    "sim_ann_ivf_planted",             # round-3 IVF path; oracle present, window
-                                       # full — exact parity proven in pytest
-    "image_resize_planted",            # round-3 resize oracle; window full,
-                                       # exact parity proven in pytest
-    "ingest_zip_extract",              # round-3 S2 oracle; window full,
-                                       # exact parity proven in pytest
-    "stream_user_totals",              # round-3 stateful-stream batch twin;
-                                       # window full, parity in pytest
-    "stream_lww_winner",               # round-3 LWW-stream batch twin;
-                                       # window full, parity in pytest
-    "ingest_export_roundtrip",         # round-3 K2 XLSX write+re-read oracle;
-                                       # window full, parity in pytest
-    "ingest_shp_roundtrip",            # round-3 K1 SHP write+re-read oracle;
-                                       # window full, parity in pytest
-    "ingest_egrn_owner",               # round-3 EGRN owner-tree oracle;
-                                       # window full, parity in pytest
-    "ingest_error_quarantine",         # round-3 M2 quarantine oracle;
-                                       # window full, parity in pytest
-    "image_validate",                  # rows-only; image_invariants has the oracle
-    "image_features",                  # rows-only; image_invariants has the oracle
+    "setops",                          # green r02+r03; generic SQL breadth
+    "cube_agg",                        # green r02+r03; rollup_agg covers the family
+    "s1_scan",                         # green r01+r02+r03
+    "p2_filter_anti",                  # green r01+r02+r03
+    "e1_explode_entry",                # green r01+r02+r03
+    "a2_set_dedup",                    # green r01+r02+r03
+    "a3_conditional_default",          # green r01+r02+r03
+    "f1_regex_cleanup",                # green r01+r02+r03
+    "f2_abbrev_rewrite",               # green r01+r02+r03
+    "f3_date_invert",                  # green r01+r02+r03
+    "f4_case_fold",                    # green r01+r02+r03
+    "f5_collision_suffix",             # green r01+r02+r03
+    "g4_lww_upsert",                   # green r01+r02+r03
 ]
 
 
@@ -93,14 +100,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged = {**REF_QUERIES, **ENGINE_QUERIES, **EXTRA_QUERIES, **INGEST_QUERIES}
+    for k in _DROPPED:
+        merged.pop(k, None)
     window = {k: v for k, v in merged.items() if k not in _TAIL}
     tail = {k: merged[k] for k in _TAIL if k in merged}
-    assert len(window) <= DRIVER_WINDOW, (
-        f"{len(window)} queries in the driver window (> {DRIVER_WINDOW}); "
-        "demote a redundant one to _TAIL"
-    )
+    if len(window) > DRIVER_WINDOW:
+        # not an assert: python -O must not silently widen the window
+        raise RuntimeError(
+            f"{len(window)} queries in the driver window (> {DRIVER_WINDOW}); "
+            "demote a redundant one to _TAIL"
+        )
     return {**window, **tail}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**REF_ORACLES, **ENGINE_ORACLES, **EXTRA_ORACLES, **INGEST_ORACLES}
+    merged = {**REF_ORACLES, **ENGINE_ORACLES, **EXTRA_ORACLES, **INGEST_ORACLES}
+    for k in _DROPPED:
+        merged.pop(k, None)
+    return merged

@@ -80,14 +80,18 @@ class CheckpointedWriter:
         n_buckets: int,
         group_size: int = 4,
         fail_after_groups: int | None = None,
+        pre_bucketed: bool = False,
     ) -> int:
         """Write ``df`` bucketed by ``key_col`` with per-group checkpoints.
 
         Returns the number of bucket groups actually executed (0 when the
         run was already complete).  ``fail_after_groups`` injects a crash
-        for resume tests.
+        for resume tests.  ``pre_bucketed=True`` means ``df`` already
+        carries ``BUCKET_COL`` (values in [0, n_buckets)) — used by
+        callers whose bucket id must be SQL-recomputable (the driver
+        gate) or who bucket on a composite expression.
         """
-        bdf = with_bucket(df, key_col, n_buckets)
+        bdf = df if pre_bucketed else with_bucket(df, key_col, n_buckets)
         done = self.completed_buckets()
         todo = [b for b in range(n_buckets) if b not in done]
         groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]

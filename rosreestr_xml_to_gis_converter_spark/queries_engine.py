@@ -191,6 +191,111 @@ SELECT image_id, cad_number, rank, dist FROM (
 """
 
 
+# a deliberately SPARSE centroid layer for the kNN completeness gate:
+# 5 centroids packed inside ONE res-9 grid cell in the box's south-west
+# corner (res-9 cell walls at multiples of 360/512 lon / 180/512 lat;
+# lon 30.08..30.16 and lat 50.12..50.20 sit strictly inside one cell),
+# so with disk=1 an image's disk either sees all 5 centroids or none —
+# both the covered path and the whole-layer fallback stay exactly-true
+# kNN and the single cross-join oracle covers them uniformly.
+SPARSE_CENTROIDS: list[tuple[str, float, float]] = [
+    ("99:01:0000001:1", 30.08, 50.12),
+    ("99:01:0000001:2", 30.10, 50.14),
+    ("99:01:0000001:3", 30.12, 50.16),
+    ("99:01:0000001:4", 30.14, 50.18),
+    ("99:01:0000001:5", 30.16, 50.20),
+]
+
+
+def knn_uncovered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN completeness gate (round-3 VERDICT "What's missing #2"): the
+    centroid layer is sparse enough that most images' grid disks are
+    EMPTY at res=9/disk=1.  Before round 4 those images silently vanished
+    from ``knn_grid``'s inner join; the whole-layer fallback now ranks
+    them against the full (broadcast) layer, so the output must equal
+    true kNN for every distinct image — exactly what the cross-join
+    oracle states.  Row count == distinct images x k by construction."""
+    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    cen = spark.createDataFrame(
+        pd.DataFrame(SPARSE_CENTROIDS, columns=["cad_number", "clon", "clat"])
+    )
+    out = knn_grid(img, cen, TESTDATA_BOX, k=KNN_K, res=9, disk=1)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sparse_centroids_values_sql() -> str:
+    rows = ", ".join(
+        f"('{cad}', {clon!r}, {clat!r})" for cad, clon, clat in SPARSE_CENTROIDS
+    )
+    return f"(VALUES {rows}) AS cen(cad_number, clon, clat)"
+
+
+KNN_UNCOVERED_SQL = f"""
+WITH {_IMAGES_CTE}
+, dpts AS (SELECT DISTINCT image_id, lon, lat FROM pts)
+SELECT image_id, cad_number, rank, dist FROM (
+  SELECT p.image_id, cen.cad_number,
+         row_number() OVER (
+           PARTITION BY p.image_id
+           ORDER BY sqrt((p.lon - cen.clon) * (p.lon - cen.clon)
+                       + (p.lat - cen.clat) * (p.lat - cen.clat)) ASC,
+                    cen.cad_number ASC) AS rank,
+         sqrt((p.lon - cen.clon) * (p.lon - cen.clon)
+            + (p.lat - cen.clat) * (p.lat - cen.clat)) AS dist
+  FROM dpts p CROSS JOIN {_sparse_centroids_values_sql()}
+) WHERE rank <= {KNN_K}
+"""
+
+
+# --- checkpoint / resume lineage (M-family; checkpoint.py) -------------------
+
+def checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume driver oracle (round-3 VERDICT next-round #5):
+    a checkpointed bucketed write of ``orders`` with an INJECTED CRASH
+    after the first bucket group, then a resume on the same run_id that
+    completes the remaining groups.  The returned lineage table (one row
+    per bucket with its row count) must equal a plain GROUP BY of the
+    input — proving the crash+resume protocol re-runs exactly the
+    missing buckets and counts the written files correctly.  The gate
+    buckets on ``o_orderkey % 8`` (SQL-recomputable); production uses the
+    xxhash64 bucketer (``with_bucket``), same protocol."""
+    import shutil
+    import tempfile
+
+    from rosreestr_xml_to_gis_converter_spark.checkpoint import (
+        BUCKET_COL,
+        CheckpointedWriter,
+    )
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    bdf = orders.withColumn(BUCKET_COL, (F.col("o_orderkey") % 8).cast("int"))
+    base = tempfile.mkdtemp(prefix="gate_ckpt_")
+    try:
+        w = CheckpointedWriter(spark, base, run_id="gate-r4")
+        try:
+            w.write(bdf, key_col=BUCKET_COL, n_buckets=8, group_size=3,
+                    fail_after_groups=1, pre_bucketed=True)
+        except RuntimeError:
+            pass  # the injected crash — lineage holds only group 0
+        w.write(bdf, key_col=BUCKET_COL, n_buckets=8, group_size=3,
+                pre_bucketed=True)  # resume: completes buckets 3..7 only
+        lineage = (
+            w.metrics()
+            .filter(F.col("run_id") == "gate-r4")
+            .select(F.col("bucket").cast("long").alias("bucket"), "n_rows")
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(lineage)
+
+
+CHECKPOINT_LINEAGE_SQL = """
+SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n_rows
+FROM orders GROUP BY 1
+"""
+
+
 # --- owner-aggregation matrix (A1, real_estate.py:183-452) -------------------
 
 def a1_owner_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,6 +1101,8 @@ ENGINE_QUERIES = {
     "knn_parcels": knn_parcels,
     "knn_parcels_brute": knn_parcels_brute,
     "knn_parcels_literal": knn_parcels_literal,
+    "knn_uncovered": knn_uncovered,
+    "checkpoint_lineage": checkpoint_lineage,
     "a1_owner_matrix": a1_owner_matrix,
     "stream_window_counts": stream_window_counts,
     "stream_user_totals": stream_user_totals,
@@ -1034,6 +1141,8 @@ ENGINE_ORACLES = {
     "knn_parcels": KNN_SQL,
     "knn_parcels_brute": KNN_SQL,
     "knn_parcels_literal": KNN_LITERAL_SQL,
+    "knn_uncovered": KNN_UNCOVERED_SQL,
+    "checkpoint_lineage": CHECKPOINT_LINEAGE_SQL,
     "a1_owner_matrix": A1_OWNER_MATRIX_SQL,
     "stream_window_counts": STREAM_WINDOW_SQL,
     "stream_user_totals": STREAM_USER_TOTALS_SQL,

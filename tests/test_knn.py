@@ -50,7 +50,10 @@ def test_grid_finer_res_smaller_disk_matches_disk_constrained_oracle(
 ):
     """At res 8 / disk 3 the disk may truncate far neighbors: the result
     must be exactly the top-k among centroids whose cell is within the
-    disk of the image's cell (numpy oracle)."""
+    disk of the image's cell (numpy oracle) — except that an image whose
+    disk holds FEWER than k candidates falls back to the whole layer
+    (round-4 completeness fallback), so the oracle ranks all centroids
+    for those."""
     from rosreestr_xml_to_gis_converter_spark.index.grid import cell_ij, latlng_to_cell
 
     res, disk, k = 8, 3, 3
@@ -70,8 +73,8 @@ def test_grid_finer_res_smaller_disk_matches_disk_constrained_oracle(
     for i in range(len(ipdf)):
         within = (np.abs(cx - ix[i]) <= disk) & (np.abs(cy - iy[i]) <= disk)
         cand = cpdf[within].copy()
-        if cand.empty:
-            continue
+        if len(cand) < k:
+            cand = cpdf.copy()  # whole-layer fallback
         cand["dist"] = np.sqrt(
             (lon[i] - cand["clon"]) ** 2 + (lat[i] - cand["clat"]) ** 2
         )
@@ -102,3 +105,33 @@ def test_knn_deterministic_tiebreak(spark):
     )
     out = knn_bruteforce(img, cen, TESTDATA_BOX, k=2).toPandas().sort_values("rank")
     assert out["cad_number"].tolist() == ["a", "b"]
+
+
+def test_uncovered_images_fall_back_to_whole_layer(spark, images):
+    """A sparse centroid layer leaves most images with EMPTY grid disks;
+    before round 4 those silently vanished from knn_grid's inner join.
+    Now every distinct image must emit exactly k rows equal to true kNN
+    (the whole layer is the candidate set either way here, because all
+    centroids share one res-9 cell)."""
+    from rosreestr_xml_to_gis_converter_spark.index.grid import latlng_to_cell
+    from rosreestr_xml_to_gis_converter_spark.queries_engine import SPARSE_CENTROIDS
+
+    cpdf = pd.DataFrame(SPARSE_CENTROIDS, columns=["cad_number", "clon", "clat"])
+    # fixture precondition: all sparse centroids share ONE res-9 cell
+    cells = latlng_to_cell(cpdf["clat"].to_numpy(), cpdf["clon"].to_numpy(), 9)
+    assert len(set(cells.tolist())) == 1
+    cen = spark.createDataFrame(cpdf)
+    got = _rows(knn_grid(images, cen, TESTDATA_BOX, k=3, res=9, disk=1))
+    want = _rows(knn_bruteforce(images, cen, TESTDATA_BOX, k=3))
+    assert got == want
+    assert len(got) == 300 * 3  # no image dropped
+    # both paths genuinely exercised: some disks see the cluster, most not
+    ipdf = gen_images_pdf(31, 300)
+    lon = TESTDATA_BOX.lon_np(ipdf["phash"].to_numpy(np.int64))
+    lat = TESTDATA_BOX.lat_np(ipdf["phash"].to_numpy(np.int64))
+    from rosreestr_xml_to_gis_converter_spark.index.grid import cell_ij
+
+    ix, iy = cell_ij(latlng_to_cell(lat, lon, 9))
+    cx, cy = cell_ij(cells[0])
+    covered = (np.abs(ix - cx) <= 1) & (np.abs(iy - cy) <= 1)
+    assert 0 < covered.sum() < 300
