@@ -20,6 +20,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from rosreestr_xml_to_gis_converter_spark.session import get_spark  # noqa: E402
 
 
+def _skewed_images(img):
+    """Pack ~half of the image table into ONE res-12 boundary cell of the
+    big test parcel (its west edge at lon=31): the join key (cell) gets a
+    pathological hot value whose per-row cost is the Python PIP refine —
+    time skew without byte skew."""
+    from pyspark.sql import functions as F
+
+    from rosreestr_xml_to_gis_converter_spark.index.grid import (
+        WORLD_DLAT,
+        WORLD_DLON,
+        WORLD_LAT0,
+        WORLD_LON0,
+        cell_ij,
+        latlng_to_cell,
+    )
+    from rosreestr_xml_to_gis_converter_spark.queries_engine import JOIN_RES
+    from rosreestr_xml_to_gis_converter_spark.synth import TESTDATA_BOX
+
+    n = 1 << JOIN_RES
+    cell = latlng_to_cell(52.0, 31.0, JOIN_RES)  # cell crossing the parcel edge
+    ix, iy = (int(v) for v in cell_ij(cell))
+    lon_cell0 = WORLD_LON0 + ix * WORLD_DLON / n
+    lat_cell0 = WORLD_LAT0 + iy * WORLD_DLAT / n
+    box = TESTDATA_BOX
+
+    def frac32(v, v0, dv):
+        return int((v - v0) / dv * 4294967296.0)
+
+    lon_lo = frac32(lon_cell0, box.lon0, box.dlon) + 2
+    lon_span = frac32(lon_cell0 + WORLD_DLON / n, box.lon0, box.dlon) - lon_lo - 2
+    lat_lo = frac32(lat_cell0, box.lat0, box.dlat) + 2
+    lat_span = frac32(lat_cell0 + WORLD_DLAT / n, box.lat0, box.dlat) - lat_lo - 2
+    hot = (
+        (F.lit(lat_lo) + F.pmod(F.xxhash64("image_id", F.lit("lat")), F.lit(lat_span)))
+        * F.lit(4294967296)
+        + F.lit(lon_lo)
+        + F.pmod(F.xxhash64("image_id", F.lit("lon")), F.lit(lon_span))
+    )
+    pick = F.pmod(F.xxhash64("image_id"), F.lit(2)) == 0
+    return img.withColumn("phash", F.when(pick, hot).otherwise(F.col("phash")))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -57,21 +99,27 @@ def main() -> None:
     from rosreestr_xml_to_gis_converter_spark.synth import testdata_parcels_rings
 
     results: dict[str, float] = {}
+    medians: dict[str, float] = {}
     counts: dict[str, int] = {}
 
     # best-of guards against host-contention spikes on shared VMs; 3 reps
     # because observed per-rep variance on this host reaches 1.4x even on
     # an idle machine (round-3 measurements), and rep 1 additionally pays
-    # one-time costs (PreparedCover build, codegen) that best-of excludes
+    # one-time costs (PreparedCover build, codegen) that best-of excludes.
+    # Both best AND median are recorded (round-3 VERDICT bench-comparability
+    # ask): `queries` stays best-of (comparable to BENCH_r03), and
+    # `queries_median`/`reps` let future rounds quote medians.
     REPS = 3
 
     def run(name: str, fn) -> None:
-        best = float("inf")
+        times = []
         for _ in range(REPS):
             t0 = time.time()
             counts[name] = fn().count()
-            best = min(best, time.time() - t0)
-        results[name] = round(best, 3)
+            times.append(time.time() - t0)
+        times.sort()
+        results[name] = round(times[0], 3)
+        medians[name] = round(times[len(times) // 2], 3)
 
     # warm the JVM and the Python daemon's worker pool once so per-query
     # timings measure steady-state throughput, not one-time process spawn
@@ -136,6 +184,43 @@ def main() -> None:
     )
     image_decode_mb_s = round(input_mb / results["image_features_400"], 2)
 
+    # --- skew stress: hot boundary cell, salted vs unsalted ---------------
+    # Half the image table is packed into ONE res-12 BOUNDARY cell of the
+    # big parcel (PIP refine needed -> per-row cost is Python compute, so
+    # the skew is in task TIME, not bytes — the case AQE's byte-based
+    # skew split does not catch).  The cover is joined WITHOUT broadcast
+    # (emulating a parcel layer too large to broadcast, exactly when the
+    # shuffled path and salting matter).  `salt` replicates the cover
+    # side so the hot cell spreads over `cpus` reducers.
+    from rosreestr_xml_to_gis_converter_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from rosreestr_xml_to_gis_converter_spark.synth import (
+        TESTDATA_BOX,
+        images_from_lineitem,
+    )
+
+    skew_img = _skewed_images(images_from_lineitem(spark, sf_dir))
+    skew_cover = build_parcel_cover(spark, testdata_parcels_rings(), JOIN_RES)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        run(
+            "skew_join_unsalted",
+            lambda: spatial_join(
+                skew_img, skew_cover, TESTDATA_BOX, broadcast_cover=False
+            ),
+        )
+        run(
+            "skew_join_salted",
+            lambda: spatial_join(
+                skew_img, skew_cover, TESTDATA_BOX, broadcast_cover=False, salt=cpus
+            ),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    assert counts["skew_join_salted"] == counts["skew_join_unsalted"]
+
     total = round(sum(results.values()), 3)
     join_pairs = counts["flagship_spatial_join"]
     throughput = round(join_pairs / results["flagship_spatial_join"], 1)
@@ -147,6 +232,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "queries_median": medians,
+                "reps": REPS,
+                "skew_salting_speedup": round(
+                    results["skew_join_unsalted"] / results["skew_join_salted"], 2
+                ),
                 "sf": sf,
                 "cpus": cpus,
                 "spatial_join_matched_pairs": join_pairs,

@@ -1,10 +1,26 @@
 """Attribute-row operators: the reference's owner-aggregation matrix as a
-declarative groupBy + CASE cascade.
+declarative groupBy + higher-order-function branch tree.
 
 Re-expresses the full branch tree of /root/reference/real_estate.py:183-452
-(and the EGRN variant :1076-1239) over a normalized per-right rows table
+(KVZU family) and :1076-1239 (the separate EGRN tree) over a normalized
+per-right rows table
 
-    rights(doc_id, right_type, owner, share_den, share_text)
+    rights(doc_id, right_type, owner, share_den, share_text[, share_num,
+           pos, rec_first, is_egrn])
+
+Round-4 realization (replaces the round-1..3 scalar-aggregate CASE): the
+rows of a document are collected once into a **document-ordered array**
+(``pos`` = position of the row inside the parsed ``rights`` array, i.e.
+XML document order) and every reference list (``list_type_sobstv``,
+``list_owner``, ``list_dolei``, ``doli_two_persons``, ``list_doli_ga``,
+``list_sovm_sobsv``, ``r_type_list``, ``lst_holders``, ...) is rebuilt
+as a ``filter``/``transform`` expression over that array — so positional
+pairings (zip, ``[i]`` indexing, ``.index()`` lookups) and the
+last-right's-type gate are computed exactly as the reference's sequential
+code does, in document order, entirely inside WholeStageCodegen.  One
+hash aggregation per document; array sizes are bounded by
+rights-per-document (single digits in real extracts), so the collected
+struct array costs the same shuffle as the old scalar aggregate.
 
 Row classification (real_estate.py:210-222):
 * 'пропорциональн...' share texts contribute NO share (the row still
@@ -13,41 +29,67 @@ Row classification (real_estate.py:210-222):
   list_dolei / doli_two_persons — here ``share_den`` + ``share_text``;
 * every other non-null share text is a hectare-text share
   (``list_doli_ga``, e.g. '10 га').
+Shares/types are per RIGHT RECORD (``rec_first`` marks the first row of
+each record; a record with several Owner children explodes into several
+rows that share one Registration) while owner names are per row —
+exactly the reference's loop structure.
 
 Branch tree for 'Долевая собственность' (:381-431), in reference order:
-  B1 exactly 1 right row with 1 owner      -> 'type owner'
+  B1 exactly 1 right row with 1 owner      -> 'type owner' (RAW owner —
+     cell_owner[0] is built from the unmodified name, :383-386)
   B2 ga shares present:
     a n_ga == n_owner_rows <= 2            -> 'type ga1 o1, ga2 o2'
+      (zip of list_doli_ga with list_owner, document order)
     b n_ga == n_owner_rows > 2             -> 'type (N правообладателей)'
     c ga AND numeric, >2 distinct owners   -> 'type (D долей; N правообладателей)'
       ga AND numeric, 2 distinct owners    -> 'type Name1, Name2 (D долей)'
-      ga AND numeric, <2 distinct owners   -> ''   (unhandled in the reference)
+      ga AND numeric, <2 distinct owners   -> fall-through (B4 check)
     d >2 distinct owners                   -> 'type (N правообладателей)'
     e <=2 distinct owners                  -> 'type (NAME1, NAME2)'  (upper set)
-  B3 numeric shares only:
+  B3 numeric shares only (positional: doli_two_persons[i] pairs with
+     list_dolevikov_new[i], NOT with the share's own row):
     a 1 distinct owner == 'ДАННЫЕ О ПРАВООБЛАДАТЕЛЕ ОТСУТСТВУЮТ'
                                            -> 'type (D долей; данные о правообладателях отсутствуют)'
     b 1 distinct owner, <=2 rows           -> 'type (D долей)Name'   (the
       reference's no-space concat quirk, :410-411)
-      1 distinct owner, >2 rows            -> ''   (reference IndexError
-      caught by the bare except, :421-422)
+      1 distinct owner, >2 rows            -> fall-through (reference
+      IndexError caught by the bare except, :421-422)
     c >2 owner rows                        -> 'type (D долей; N правообладателей)'
     d exactly 1 owner row                  -> 'type d1 Name1'
     e 2 owner rows, >=2 numeric shares     -> 'type: d1 Name1, d2 Name2'
-      2 owner rows, <2 numeric shares      -> ''   (reference IndexError)
-  B4 right rows but zero owners            -> the bare right type (:426-431)
-* joint ownership -> 'Совместная собственность o1, o2'        (:432-436)
-* no rights rows at all: forest/water fund -> 'Собственность РФ'
-  (:363-366), else district-administration fallback with the
-  '-ий/-ой -> -ого' regex declension (:367-380), else ''.
-* otherwise ', '-joined 'type owner' pairs (:452).
+      2 owner rows, <2 numeric shares      -> fall-through (ref IndexError)
+  B4 right rows but zero owners            -> the bare right type (:426-431);
+     every fall-through above lands here (-> '' when owners exist)
+* joint ownership (:432-436): list_sovm_sobsv is the joint owners
+  REPEATED once per joint record (the reference's nested re-scan loop,
+  :228-249); output 'Совместная собственность o1, o2' plus
+  ', ' + join(cell_owner) when the lists differ (they almost always do)
+* 'один человек собственник всех долей + сервитут' (:440-449): gate type
+  is NOT shared but numeric shares exist ->
+  '>2 shares: 'Долевая собственность  (D долей; N правообладателей)'
+  (double-space quirk); else per-share 'Долевая собственность d Owner'
+  where Owner = list_owner[doli_two_persons.index(d)] (first-occurrence
+  index — duplicate share texts re-use the first match, reproduced with
+  array_position) + the reference's trailing single-extra-owner append
+* no rights rows at all / empty cell_owner: forest/water fund ->
+  'Собственность РФ' (:363-366), else district-administration fallback
+  with the '-ий/-ой -> -ого' regex declension (:367-380), else ''.
+* otherwise ', '-joined zip of list_type_sobstv x list_owner (:342-351,
+  with the types-only and 1-distinct-type branches).
 
-Distinct-owner counts use UPPER-cased names (set_dolevikov, :352-357);
-emitted names are initcap'd (list_dolevikov_new .title(), :358-361);
-share count = max of denominators (:394,408,413,438).
-
-The EGRN extract family has its OWN owner tree (:1076-1239), keyed on the
-label 'Общая долевая собственность' and reproduced with its quirks:
+The EGRN extract family has its OWN owner tree (:1076-1239), applied when
+the document's ``is_egrn`` flag is set (source_schema land_record /
+build_record — rights_table derives it):
+  r_type_list = type per record (document order, :1092-1096);
+  lst_holders = holders of NON-shared records (:1178-1209; the 'another'
+  holder kind appends NOTHING, :1206-1207, so a record of it shifts the
+  pairing);  shared_ownership_list = holders of shared records.
+  len(r_type_list) == len(lst_holders) -> positional cells
+    'r_type_list[i] lst_holders[i]' (:1208-1214), else the concat cell
+    'last_type h1, h2, ...' (:1215-1216).
+  Any non-shared holder present -> ', '.join(cells)  (:1217-1218 — the
+  MIXED shared/non-shared case takes this path too).
+  Else the shared branch tree with its quirks:
   >2 holders w/ denominators -> 'type(D долей; N правообладателей)'
                                  (no space before the paren, :1222-1223)
   >2 holders, no denominators -> 'type ; N правообладателей)'
@@ -56,15 +98,25 @@ label 'Общая долевая собственность' and reproduced with
   1 holder                    -> 'type: [s1 ]h1'
   other combinations          -> ''   (unhandled in the reference)
   shared records, no holders  -> the bare type (:1237)
-EGRN counts are row counts (duplicates kept, no case folding) and names
-are emitted as-is; docs mixing EGRN-shared rights with non-shared
-holder rows fall to the generic pairs join (:1215-1219 approximation,
-rows-model).
+EGRN holder counts keep duplicates and case; share_list is per RECORD
+(num/den both parsed, :1098-1117); names are emitted as-is.
 
-Deliberate deviations (documented): name/pair lists are sorted for
-determinism (the reference keeps XML document order, which has no stable
-distributed equivalent), and the scalar type gate uses max(right_type)
-where the reference keeps the LAST right's type.
+Deliberate deviations (documented):
+* names are emitted via ``initcap`` where the reference calls
+  ``str.title()`` — identical for space-delimited names; hyphenated
+  all-caps names differ ('ANNA-MARIA' -> 'Anna-maria' vs 'Anna-Maria');
+* B2e joins ``set_dolevikov`` SORTED (the reference joins a Python set —
+  its iteration order is interpreter-hash arbitrary, so no distributed
+  order can match it; sorted is deterministic);
+* a record whose <value> element exists but is EMPTY is treated as
+  type-less (the reference appends None to r_type_list and pairs it);
+* the reference re-reads the legacy GKN block even when modern rights
+  exist but their lists mismatch (:285); the parse falls back only when
+  the modern block is empty;
+* records lacking a type value classify their holders by the RUNNING
+  previous type in the reference (:1092 r_type is a loop variable); here
+  by their own (null) type — identical whenever every record carries a
+  type, as all real schemas do.
 """
 
 from __future__ import annotations
@@ -78,6 +130,8 @@ JOINT = "Совместная собственность"
 # owner property (real_estate.py:1076-1239) is a DIFFERENT branch tree
 # from the KVZU matrix — keyed on this label:
 EGRN_SHARED = "Общая долевая собственность"
+
+MISSING_OWNER = "ДАННЫЕ О ПРАВООБЛАДАТЕЛЕ ОТСУТСТВУЮТ"
 
 
 def district_administration(district: Column) -> Column:
@@ -95,209 +149,347 @@ def district_administration(district: Column) -> Column:
     )
 
 
-MISSING_OWNER = "ДАННЫЕ О ПРАВООБЛАДАТЕЛЕ ОТСУТСТВУЮТ"
+def _s(c: Column) -> Column:
+    return c.cast("string")
+
+
+def _empty() -> Column:
+    return F.array().cast("array<string>")
 
 
 def owner_summary(rights: DataFrame, parcels: DataFrame) -> DataFrame:
     """rights x parcels(doc_id, category, district_name) -> (doc_id, owner).
 
-    ``rights`` needs (doc_id, right_type, owner, share_den) and optionally
-    ``share_text`` (without it the ga branches and the share-text pair
-    branches see nulls, matching extracts that carry only Share attrs).
+    ``rights`` needs (doc_id, right_type, owner, share_den) and
+    optionally ``share_text`` (without it the ga branches and the
+    share-text pair branches see nulls, matching extracts that carry only
+    Share attrs), ``share_num`` (EGRN share_list), ``pos`` (XML document
+    order; without it rows order deterministically by content),
+    ``rec_first`` (first row of each right record; without it every row
+    counts as its own record) and ``is_egrn`` (route to the EGRN tree).
     """
-    if "share_text" not in rights.columns:
-        rights = rights.withColumn("share_text", F.lit(None).cast("string"))
+    for col, default in (
+        ("share_text", F.lit(None).cast("string")),
+        ("share_num", F.lit(None).cast("string")),
+        ("pos", F.lit(0).cast("long")),
+        ("rec_first", F.lit(True)),
+        # without an explicit flag, infer the EGRN family from the label:
+        # the EGRN shared label never comes out of the KVZU classifier
+        # (001002000000 -> 'Долевая собственность'), so any row carrying
+        # it marks an EGRN document
+        ("is_egrn", F.coalesce(F.col("right_type") == EGRN_SHARED, F.lit(False))),
+    ):
+        if col not in rights.columns:
+            rights = rights.withColumn(col, default)
 
-    nj = F.col("right_type") != JOINT  # list_owner / list_type_sobstv rows
-    sh_row = F.col("right_type") == SHARED
-    prop = F.coalesce(F.col("share_text").rlike("пропорциональн"), F.lit(False))
-    numeric = sh_row & F.col("share_den").isNotNull() & ~prop
-    ga = (
-        sh_row
-        & F.col("share_den").isNull()
-        & F.col("share_text").isNotNull()
-        & ~prop
+    row_struct = F.struct(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("right_type").alias("rt"),
+        F.col("owner").alias("owner"),
+        F.col("share_den").cast("int").alias("den"),
+        F.col("share_text").alias("txt"),
+        F.col("share_num").alias("num"),
+        F.col("rec_first").alias("rf"),
     )
-
     g = rights.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_all"),
-        F.count(F.when(nj, 1)).alias("n_type_rows"),
-        F.count(F.when(nj & F.col("owner").isNotNull(), 1)).alias("n_rows"),
-        F.countDistinct(F.when(nj, F.upper("owner"))).alias("n_owners"),
-        F.array_sort(F.collect_set(F.when(nj, F.initcap("owner")))).alias("names"),
-        F.array_sort(F.collect_set(F.when(nj, F.upper("owner")))).alias("names_uc"),
-        F.max(F.when(numeric, F.col("share_den"))).alias("max_den"),
-        F.count(F.when(numeric, 1)).alias("n_dolei"),
-        F.count(F.when(ga, 1)).alias("n_ga"),
-        F.array_sort(
-            F.collect_list(F.when(ga, F.concat_ws(" ", "share_text", "owner")))
-        ).alias("ga_pairs"),
-        F.array_sort(
-            F.collect_list(
-                F.when(numeric, F.concat_ws(" ", F.col("share_text"), F.initcap("owner")))
-            )
-        ).alias("num_pairs"),
-        F.max(F.when(F.upper("owner") == MISSING_OWNER, 1).otherwise(0)).alias("has_missing"),
-        F.max("right_type").alias("right_type"),
-        F.array_sort(F.collect_set(F.initcap("owner"))).alias("all_names"),
-        F.array_sort(
-            F.collect_set(F.concat_ws(" ", F.col("right_type"), F.col("owner")))
-        ).alias("pairs"),
-        # EGRN tree aggregates (real_estate.py:1210-1239); counts are ROW
-        # counts with duplicates and no case folding, names emitted as-is
-        F.count(
-            F.when((F.col("right_type") == EGRN_SHARED) & F.col("owner").isNotNull(), 1)
-        ).alias("eg_n"),
-        F.count(
-            F.when(
-                (F.col("right_type") == EGRN_SHARED)
-                & F.col("owner").isNotNull()
-                & F.col("share_text").isNotNull(),
-                1,
-            )
-        ).alias("eg_nshare"),
-        F.max(
-            F.when(F.col("right_type") == EGRN_SHARED, F.col("share_den"))
-        ).alias("eg_max_den"),
-        F.array_sort(
-            F.collect_list(
-                F.when(
-                    (F.col("right_type") == EGRN_SHARED) & F.col("owner").isNotNull(),
-                    F.concat_ws(" ", "share_text", "owner"),
-                )
-            )
-        ).alias("eg_pairs"),
-        F.count(
-            F.when(
-                F.col("right_type").isNotNull()
-                & (F.col("right_type") != EGRN_SHARED)
-                & F.col("owner").isNotNull(),
-                1,
-            )
-        ).alias("eg_n_other"),
+        # struct sort: pos first (document order); with the pos=0
+        # fallback the remaining fields give a deterministic content order
+        F.array_sort(F.collect_list(row_struct)).alias("rows"),
+        F.max(F.when(F.col("is_egrn"), 1).otherwise(0)).alias("egrn_flag"),
     )
     j = parcels.join(g, "doc_id", "left")
 
-    shared = F.col("right_type") == SHARED
-    egrn = (F.col("right_type") == EGRN_SHARED) & (F.col("eg_n_other") == 0)
-    has_ga = F.col("n_ga") > 0
-    has_dolei = F.col("n_dolei") > 0
-    two_names = F.array_join(F.slice("names", 1, 2), ", ")
-    count_tail = F.concat(F.col("n_owners"), F.lit(" правообладателей)"))
-    dolei_head = F.concat(F.lit(SHARED + " ("), F.col("max_den"), F.lit(" долей"))
+    rows = F.col("rows")
+    recs = F.filter(rows, lambda r: r["rf"])  # first row of each record
+
+    def nn(c: Column) -> Column:
+        return c.isNotNull()
+
+    prop = lambda r: F.coalesce(r["txt"].rlike("пропорциональн"), F.lit(False))  # noqa: E731
+
+    # --- the reference's KVZU lists, in document order -------------------
+    nj = lambda r: nn(r["rt"]) & (r["rt"] != JOINT)  # noqa: E731
+    types_nj = F.transform(F.filter(recs, nj), lambda r: r["rt"])  # list_type_sobstv
+    owners_nj = F.transform(
+        F.filter(rows, lambda r: nj(r) & nn(r["owner"])), lambda r: r["owner"]
+    )  # list_owner
+    dolei_recs = F.filter(
+        recs, lambda r: (r["rt"] == SHARED) & nn(r["den"]) & ~prop(r)
+    )
+    list_dolei = F.transform(dolei_recs, lambda r: r["den"])
+    dtp = F.transform(dolei_recs, lambda r: r["txt"])  # doli_two_persons
+    ga = F.transform(
+        F.filter(
+            recs,
+            lambda r: (r["rt"] == SHARED) & r["den"].isNull() & nn(r["txt"]) & ~prop(r),
+        ),
+        lambda r: r["txt"],
+    )  # list_doli_ga
+    dolevikov = F.transform(owners_nj, F.upper)  # list_dolevikov (dups kept)
+    set_dolev = F.array_distinct(dolevikov)  # set_dolevikov (first occurrence)
+    n_distinct = F.size(set_dolev)
+    # list_dolevikov_new: populated only when 0 < len < 3 (:358-361)
+    ldn = F.when(
+        F.size(dolevikov).between(1, 2), F.transform(dolevikov, F.initcap)
+    ).otherwise(_empty())
+    joint_owners = F.transform(
+        F.filter(rows, lambda r: (r["rt"] == JOINT) & nn(r["owner"])),
+        lambda r: r["owner"],
+    )
+    n_joint_recs = F.size(F.filter(recs, lambda r: r["rt"] == JOINT))
+    # the reference's nested re-scan appends ALL joint owners once per
+    # joint record (:228-249) — owners repeated x n_joint_recs
+    sovm = F.when(
+        n_joint_recs > 0,
+        F.flatten(F.transform(F.sequence(F.lit(1), n_joint_recs), lambda _: joint_owners)),
+    ).otherwise(_empty())  # list_sovm_sobsv
+    # type_sobstv: the LAST right's resolved type (loop variable, :209)
+    typed = F.filter(rows, lambda r: nn(r["rt"]))
+    type_gate = F.get(typed, F.size(typed) - 1)["rt"]
+
+    # cell_owner (:282-284 + post-GKN :342-351 combined over merged rows)
+    cell_owner = (
+        F.when(
+            F.size(types_nj) == F.size(owners_nj),
+            F.zip_with(types_nj, owners_nj, lambda t, o: F.concat(t, F.lit(" "), o)),
+        )
+        .when((F.size(types_nj) > 0) & (F.size(owners_nj) == 0), types_nj)
+        .when(
+            (F.size(F.array_distinct(types_nj)) == 1) & (F.size(owners_nj) == 1),
+            F.array(F.concat(F.get(types_nj, 0), F.lit(" "), F.get(owners_nj, 0))),
+        )
+        .otherwise(_empty())
+    )
+    # empty cell_owner -> category/district defaults (:363-380) are
+    # APPENDED before the dispatch, so they ride the final join too
+    default_owner = F.when(
+        F.col("category").isin("Земли лесного фонда", "Земли водного фонда"),
+        F.lit("Собственность РФ"),
+    ).otherwise(district_administration(F.col("district_name")))
+    cell_owner_final = F.when(F.size(cell_owner) > 0, cell_owner).otherwise(
+        F.when(nn(default_owner), F.array(default_owner)).otherwise(_empty())
+    )
+
+    max_den = _s(F.array_max(list_dolei))
+    count_tail = F.concat(_s(n_distinct), F.lit(" правообладателей)"))
+    dolei_head = F.concat(F.lit(SHARED + " ("), max_den, F.lit(" долей"))
+    shared_gate = F.coalesce(type_gate == SHARED, F.lit(False))
+    has_ga = F.size(ga) > 0
+    has_dolei = F.size(list_dolei) > 0
+    # every fall-through of the shared block lands on the B4 check
+    # (:426-431): bare type when owners are absent, else implicit None
+    b4_or_empty = F.when(
+        (F.size(types_nj) > 0) & (F.size(owners_nj) == 0), type_gate
+    ).otherwise(F.lit(""))
+
+    # --- EGRN lists (:1083-1216) ----------------------------------------
+    eg_types = F.transform(F.filter(recs, lambda r: nn(r["rt"])), lambda r: r["rt"])
+    eg_holders = F.transform(
+        F.filter(rows, lambda r: nn(r["rt"]) & (r["rt"] != EGRN_SHARED) & nn(r["owner"])),
+        lambda r: r["owner"],
+    )
+    eg_shared = F.transform(
+        F.filter(rows, lambda r: (r["rt"] == EGRN_SHARED) & nn(r["owner"])),
+        lambda r: r["owner"],
+    )
+    eg_share_recs = F.filter(
+        recs, lambda r: (r["rt"] == EGRN_SHARED) & nn(r["num"]) & nn(r["den"])
+    )
+    share_list = F.transform(
+        eg_share_recs, lambda r: F.concat(r["num"], F.lit("/"), _s(r["den"]))
+    )
+    eg_max_den = F.array_max(F.transform(eg_share_recs, lambda r: r["den"]))
+    eg_cells = F.when(
+        F.size(eg_types) == F.size(eg_holders),
+        F.zip_with(eg_types, eg_holders, lambda t, h: F.concat(t, F.lit(" "), h)),
+    ).otherwise(
+        F.array(F.concat(type_gate, F.lit(" "), F.array_join(eg_holders, ", ")))
+    )
+    eg_n = F.size(eg_shared)
+    eg_ns = F.size(share_list)
+    egrn_doc = F.col("egrn_flag") == 1
+
+    # 'один человек собственник всех долей + сервитут' (:440-449)
+    vse_entries = F.transform(
+        dtp,
+        lambda d: F.concat(
+            F.lit(SHARED + " "),
+            d,
+            F.lit(" "),
+            F.initcap(F.coalesce(F.get(owners_nj, F.array_position(dtp, d) - 1), F.lit(""))),
+        ),
+    )
+    vse_dop = F.when(
+        (F.size(owners_nj) == F.size(dtp) + 1) & (F.size(types_nj) > 0),
+        F.concat(
+            F.lit(", "),
+            F.get(types_nj, 0),
+            F.lit(" "),
+            F.get(owners_nj, F.size(owners_nj) - 1),
+        ),
+    ).otherwise(F.lit(""))
 
     owner = (
-        # no rights rows at all -> category/district defaults (:363-380)
+        # no rights rows at all -> the pre-dispatch defaults are all that
+        # can fire (:363-380); '' when neither matches
         F.when(
             F.col("n_all").isNull() | (F.col("n_all") == 0),
-            F.when(
-                F.col("category").isin("Земли лесного фонда", "Земли водного фонда"),
-                F.lit("Собственность РФ"),
-            ).otherwise(F.coalesce(district_administration(F.col("district_name")), F.lit(""))),
+            F.coalesce(default_owner, F.lit("")),
         )
-        # B1 (:382-386): exactly one right row with exactly one owner
+        # ---- EGRN tree (:1217-1239) ----
         .when(
-            shared & (F.col("n_type_rows") == 1) & (F.col("n_rows") == 1),
-            F.concat_ws(" ", F.col("right_type"), F.element_at("names", 1)),
+            egrn_doc & nn(type_gate) & (F.size(eg_holders) > 0),
+            F.array_join(eg_cells, ", "),
+        )
+        .when(
+            egrn_doc & nn(type_gate) & (eg_n > 0) & (type_gate == EGRN_SHARED),
+            F.when(
+                (eg_n > 2) & nn(eg_max_den),
+                # the reference's no-space-before-paren quirk (:1222-1223)
+                F.concat(
+                    type_gate, F.lit("("), _s(eg_max_den),
+                    F.lit(" долей; "), _s(eg_n), F.lit(" правообладателей)"),
+                ),
+            )
+            .when(
+                eg_n > 2,
+                # the reference's stray-paren quirk (:1224-1225)
+                F.concat(type_gate, F.lit(" ; "), _s(eg_n), F.lit(" правообладателей)")),
+            )
+            .when(
+                (eg_n == 2) & (eg_ns == 2),
+                F.concat(
+                    type_gate, F.lit(": "),
+                    F.get(share_list, 0), F.lit(" "), F.get(eg_shared, 0),
+                    F.lit(", "),
+                    F.get(share_list, 1), F.lit(" "), F.get(eg_shared, 1),
+                ),
+            )
+            .when(
+                (eg_n == 2) & (eg_ns == 0),
+                F.concat(
+                    type_gate, F.lit(": "),
+                    F.get(eg_shared, 0), F.lit(", "), F.get(eg_shared, 1),
+                ),
+            )
+            .when(
+                (eg_n == 1) & (eg_ns == 1),
+                F.concat(
+                    type_gate, F.lit(": "), F.get(share_list, 0),
+                    F.lit(" "), F.get(eg_shared, 0),
+                ),
+            )
+            .when(eg_n == 1, F.concat(type_gate, F.lit(": "), F.get(eg_shared, 0)))
+            .otherwise(F.lit("")),  # unhandled combinations
+        )
+        .when(egrn_doc & nn(type_gate) & (eg_n > 0), F.lit(""))  # gate not shared
+        .when(egrn_doc & nn(type_gate), type_gate)  # shared records, zero holders
+        .when(egrn_doc, F.lit(""))
+        # ---- KVZU shared block (:381-431) ----
+        # B1 (:382-386): cell_owner[0] built from the RAW owner string
+        .when(
+            shared_gate & (F.size(types_nj) == 1) & (F.size(owners_nj) == 1),
+            F.concat(F.get(types_nj, 0), F.lit(" "), F.get(owners_nj, 0)),
         )
         # B2 (:387-402): hectare-text shares present
         .when(
-            shared & has_ga & (F.col("n_ga") == F.col("n_rows")) & (F.col("n_rows") <= 2),
-            F.concat(F.lit(SHARED + " "), F.array_join("ga_pairs", ", ")),
+            shared_gate & has_ga & (F.size(ga) == F.size(owners_nj)) & (F.size(owners_nj) <= 2),
+            F.concat(
+                F.lit(SHARED + " "),
+                F.array_join(
+                    F.zip_with(ga, owners_nj, lambda i, k: F.concat(i, F.lit(" "), k)), ", "
+                ),
+            ),
         )
         .when(
-            shared & has_ga & (F.col("n_ga") == F.col("n_rows")),
+            shared_gate & has_ga & (F.size(ga) == F.size(owners_nj)),
             F.concat(F.lit(SHARED + " ("), count_tail),
         )
         .when(
-            shared & has_ga & has_dolei & (F.col("n_owners") > 2),
+            shared_gate & has_ga & has_dolei & (n_distinct > 2),
             F.concat(dolei_head, F.lit("; "), count_tail),
         )
         .when(
-            shared & has_ga & has_dolei & (F.col("n_owners") == 2),
+            shared_gate & has_ga & has_dolei & (n_distinct == 2),
             F.concat(
-                F.lit(SHARED + " "), two_names, F.lit(" ("), F.col("max_den"), F.lit(" долей)")
+                F.lit(SHARED + " "), F.array_join(ldn, ", "),
+                F.lit(" ("), max_den, F.lit(" долей)"),
             ),
         )
-        .when(shared & has_ga & has_dolei, F.lit(""))  # unhandled in the reference
+        .when(shared_gate & has_ga & has_dolei, b4_or_empty)  # <2: ref falls to B4
         .when(
-            shared & has_ga & (F.col("n_owners") > 2),
+            shared_gate & has_ga & (n_distinct > 2),
             F.concat(F.lit(SHARED + " ("), count_tail),
         )
         .when(
-            shared & has_ga,
-            F.concat(F.lit(SHARED + " ("), F.array_join("names_uc", ", "), F.lit(")")),
+            shared_gate & has_ga,
+            # deviation: Python-set iteration order replaced by sorted
+            F.concat(
+                F.lit(SHARED + " ("), F.array_join(F.array_sort(set_dolev), ", "), F.lit(")")
+            ),
         )
-        # B3 (:404-422): numeric shares only
+        # B3 (:404-422): numeric shares only — POSITIONAL dtp[i] x ldn[i]
         .when(
-            shared & has_dolei & (F.col("n_owners") == 1) & (F.col("has_missing") == 1),
+            shared_gate & has_dolei & (n_distinct == 1)
+            & F.array_contains(set_dolev, MISSING_OWNER),
             F.concat(dolei_head, F.lit("; данные о правообладателях отсутствуют)")),
         )
         .when(
-            shared & has_dolei & (F.col("n_owners") == 1) & (F.col("n_rows") <= 2),
+            shared_gate & has_dolei & (n_distinct == 1) & (F.size(dolevikov) <= 2),
             # the reference's no-space concat quirk (:410-411)
-            F.concat(dolei_head, F.lit(")"), F.element_at("names", 1)),
+            F.concat(dolei_head, F.lit(")"), F.get(ldn, 0)),
         )
-        .when(shared & has_dolei & (F.col("n_owners") == 1), F.lit(""))  # ref IndexError
+        .when(shared_gate & has_dolei & (n_distinct == 1), b4_or_empty)  # ref IndexError
         .when(
-            shared & has_dolei & (F.col("n_rows") > 2),
+            shared_gate & has_dolei & (F.size(dolevikov) > 2),
             F.concat(dolei_head, F.lit("; "), count_tail),
         )
         .when(
-            shared & has_dolei & (F.col("n_rows") == 1),
-            F.concat(
-                F.lit(SHARED + " "), F.element_at("num_pairs", 1)
-            ),
+            shared_gate & has_dolei & (F.size(dolevikov) == 1),
+            F.concat(F.lit(SHARED + " "), F.get(dtp, 0), F.lit(" "), F.get(ldn, 0)),
         )
         .when(
-            shared & has_dolei & (F.col("n_dolei") >= 2),
-            F.concat(F.lit(SHARED + ": "), F.array_join("num_pairs", ", ")),
+            shared_gate & has_dolei & (F.size(dolevikov) == 2) & (F.size(dtp) >= 2),
+            F.concat(
+                F.lit(SHARED + ": "),
+                F.get(dtp, 0), F.lit(" "), F.get(ldn, 0), F.lit(", "),
+                F.get(dtp, 1), F.lit(" "), F.get(ldn, 1),
+            ),
         )
-        .when(shared & has_dolei, F.lit(""))  # ref IndexError (2 rows, 1 share)
+        .when(shared_gate & has_dolei, b4_or_empty)  # ref IndexError (0 or 2/1 rows)
         # no shares at all but owners present (:423-425) -> count text
         .when(
-            shared & (F.col("n_owners") > 0),
+            shared_gate & (n_distinct > 0),
             F.concat(F.lit(SHARED + " ("), count_tail),
         )
-        # B4 (:426-431): right rows but zero owners -> bare type
-        .when(shared & (F.col("n_rows") == 0), F.col("right_type"))
-        # EGRN tree (real_estate.py:1210-1239), applicable when the doc's
-        # rights carry the EGRN label and no non-shared holders exist
-        # (with non-shared holders the reference joins 'type holders'
-        # cells — approximated by the generic pairs fall-through below):
+        # B4 (:426-431) / implicit-None fall-through
+        .when(shared_gate, b4_or_empty)
+        # ---- joint (:432-436): sovm + cell_owner when the lists differ
         .when(
-            egrn & (F.col("eg_n") > 2) & F.col("eg_max_den").isNotNull(),
-            # the reference's no-space-before-paren quirk (:1222-1223)
-            F.concat(
-                F.col("right_type"), F.lit("("), F.col("eg_max_den"),
-                F.lit(" долей; "), F.col("eg_n"), F.lit(" правообладателей)"),
+            F.size(sovm) > 0,
+            F.when(
+                sovm == owners_nj,
+                F.concat(F.lit(JOINT + " "), F.array_join(sovm, ", ")),
+            ).otherwise(
+                F.concat(
+                    F.lit(JOINT + " "), F.array_join(sovm, ", "),
+                    F.lit(", "), F.array_join(cell_owner_final, ", "),
+                )
             ),
         )
+        # ---- 'все доли у одного человека + сервитут' (:440-449) ----
         .when(
-            egrn & (F.col("eg_n") > 2),
-            # the reference's stray-paren quirk (:1224-1225)
+            has_dolei & (F.size(list_dolei) > 2),
+            # the reference's double-space quirk ('... ' + ' (')
             F.concat(
-                F.col("right_type"), F.lit(" ; "), F.col("eg_n"),
-                F.lit(" правообладателей)"),
+                F.lit(SHARED + "  ("), max_den, F.lit(" долей; "), count_tail
             ),
         )
-        .when(
-            egrn & (F.col("eg_n") == 2) & F.col("eg_nshare").isin(0, 2),
-            F.concat(
-                F.col("right_type"), F.lit(": "), F.array_join("eg_pairs", ", ")
-            ),
-        )
-        .when(
-            egrn & (F.col("eg_n") == 1),
-            F.concat(F.col("right_type"), F.lit(": "), F.element_at("eg_pairs", 1)),
-        )
-        .when(egrn & (F.col("eg_n") > 0), F.lit(""))  # unhandled in the reference
-        .when(egrn, F.col("right_type"))  # shared records, zero holders (:1237)
-        .when(
-            F.col("right_type") == JOINT,
-            F.concat(F.lit(JOINT + " "), F.array_join("all_names", ", ")),
-        )
-        .otherwise(F.array_join("pairs", ", "))
+        .when(has_dolei, F.concat(F.array_join(vse_entries, ", "), vse_dop))
+        # ---- final: '' on empty cell_owner, else the joined pairs ----
+        .when(F.size(cell_owner_final) == 0, F.lit(""))
+        .otherwise(F.array_join(cell_owner_final, ", "))
     )
     return j.select("doc_id", owner.alias("owner"))
 
@@ -322,9 +514,11 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
     * enc_name_reg_numb_date_duration (column K, :620-682 / :1402-1449):
       'name №number от date, term' / 'docs, срок действия: term'.
 
-    Deliberate deviation (documented): entries are sorted for
-    determinism — the reference keeps XML document order, which has no
-    stable distributed equivalent.
+    Entries keep XML DOCUMENT ORDER: the parsed ``rights``/
+    ``encumbrances`` arrays are per-row and already document-ordered, and
+    ``array_distinct`` keeps the FIRST occurrence — exactly the
+    reference's ``if entry not in list: list.append(entry)`` dedup
+    (real_estate.py:496,525-526,682).
     """
     from rosreestr_xml_to_gis_converter_spark.classifiers import ENCUMBRANCE, RIGHT
 
@@ -382,7 +576,7 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
         entries = F.filter(F.transform(arr_col, fn), lambda x: x.isNotNull())
         return F.when(
             arr_col.isNotNull() & (F.size(entries) > 0),
-            F.array_join(F.array_sort(F.array_distinct(entries)), sep),
+            F.array_join(F.array_distinct(entries), sep),
         ).otherwise(F.lit(default))
 
     return (

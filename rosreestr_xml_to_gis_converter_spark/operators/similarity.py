@@ -267,15 +267,25 @@ def embedding_near_dup_pairs(
         _quantized(F.col(vec_col)).alias("qv"),
         lsh_signature(F.col(vec_col), planes).alias("sig"),
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
+    if bands is not None and (bands < 2 or bands > n_planes):
+        # bands > n_planes would make every band width 0 (mask 0): every
+        # row collides in every band and the equi-self-join degenerates
+        # into an O(n^2) cross product (round-3 ADVICE)
+        raise ValueError(f"bands must be in [2, n_planes={n_planes}], got {bands}")
     if bands is not None and bands > 1:
+        # distribute sign bits across bands; the first n_planes % bands
+        # bands get one extra bit so no bit is silently dropped
         width = n_planes // bands
-        mask = (1 << width) - 1
+        widths = [width + (1 if i < n_planes % bands else 0) for i in range(bands)]
+        offsets = [sum(widths[:i]) for i in range(bands)]
         key = F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("sig", i * width).bitwiseAND(F.lit(mask)).alias("k"),
+                        F.shiftright("sig", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("k"),
                     )
                     for i in range(bands)
                 ]

@@ -88,17 +88,31 @@ def rights_table(parcels: DataFrame) -> DataFrame:
     """Parcel rows -> normalized per-right rows for the owner matrix
     (operators/attrs.py).  KVZU rights carry codes (resolved against the
     RIGHT classifier, real_estate.py:208), EGRN rights carry the label
-    text already (real_estate.py:1094-1096)."""
+    text already (real_estate.py:1094-1096).
+
+    ``pos`` is the row's index in the parsed ``rights`` array, i.e. XML
+    DOCUMENT ORDER — owner_summary's positional pairings and the
+    last-right's-type gate depend on it; ``rec_first`` marks the first
+    row of each right record (shares/types count per record);
+    ``is_egrn`` routes the document to the reference's separate EGRN
+    owner tree (real_estate.py:1076-1239)."""
     from rosreestr_xml_to_gis_converter_spark.classifiers import RIGHT, dim
 
-    r = parcels.select("doc_id", F.explode("rights").alias("r")).select(
+    egrn = F.col("source_schema").isin("land_record", "build_record") \
+        if "source_schema" in parcels.columns else F.lit(False)
+    r = parcels.select(
+        "doc_id", egrn.alias("is_egrn"), F.posexplode("rights").alias("pos", "r")
+    ).select(
         "doc_id",
+        "is_egrn",
+        "pos",
         F.col("r.right_code").alias("right_code"),
         F.col("r.right_type").alias("right_type_raw"),
         F.col("r.owner").alias("owner"),
         F.col("r.share_num").alias("share_num"),
         F.col("r.share_den").cast("int").alias("share_den"),
         F.col("r.share_text").alias("share_text"),
+        F.coalesce(F.col("r.rec_first"), F.lit(True)).alias("rec_first"),
     )
     d = dim(parcels.sparkSession, RIGHT)
     return (
@@ -110,6 +124,9 @@ def rights_table(parcels: DataFrame) -> DataFrame:
             "share_num",
             "share_den",
             "share_text",
+            "pos",
+            "rec_first",
+            "is_egrn",
         )
     )
 

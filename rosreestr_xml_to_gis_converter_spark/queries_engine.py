@@ -86,7 +86,13 @@ _PREPARED: dict[tuple[str, int], PreparedCover] = {}
 
 
 def testdata_prepared_cover(spark: SparkSession, res: int = JOIN_RES) -> PreparedCover:
-    key = (spark.sparkContext.applicationId, res)
+    app_id = spark.sparkContext.applicationId
+    # evict entries built under a previous (stopped) SparkContext so the
+    # process-lifetime dict can't accumulate stale broadcast handles
+    # (round-3 ADVICE)
+    for k in [k for k in _PREPARED if k[0] != app_id]:
+        del _PREPARED[k]
+    key = (app_id, res)
     pc = _PREPARED.get(key)
     if pc is None:
         cover = build_parcel_cover(spark, testdata_parcels_rings(), res)
@@ -322,6 +328,9 @@ def a1_owner_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat((F.col("o_orderkey") % 9 + 1).cast("string"), F.lit(" га")),
         )
         .alias("share_text"),
+        # document order: positional pairings / the last-right's-type
+        # gate follow orderkey order, SQL-recomputable
+        F.col("o_orderkey").alias("pos"),
     )
     c = load(spark, sf_dir, "customer")
     parcels = c.select(
@@ -335,10 +344,15 @@ def a1_owner_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # mirrors operators/attrs.owner_summary branch-for-branch (which itself
-# mirrors real_estate.py:183-452 — see the module docstring there)
+# transcribes real_estate.py:183-452 over document-ordered lists — see
+# the module docstring there).  Lists are ordered by pos (= o_orderkey);
+# the fixture's owners ('Owner#k') are initcap(upper(x))-invariant, so
+# the SQL uses them raw where the engine applies initcap; no
+# 'пропорциональн' share texts occur, so the prop filter is omitted.
 A1_OWNER_MATRIX_SQL = """
 WITH rights AS (
   SELECT o_custkey AS doc_id,
+         o_orderkey AS pos,
          CASE o_orderstatus WHEN 'O' THEN 'Долевая собственность'
               WHEN 'F' THEN 'Совместная собственность'
               ELSE 'Собственность' END AS rt,
@@ -357,70 +371,111 @@ par AS (
 g AS (
   SELECT doc_id,
          count(*) AS n_all,
-         count(*) FILTER (WHERE rt <> 'Совместная собственность') AS n_type_rows,
-         count(*) FILTER (WHERE rt <> 'Совместная собственность') AS n_rows,
-         count(DISTINCT upper(owner)) FILTER (WHERE rt <> 'Совместная собственность') AS n_owners,
-         list_sort(list_distinct(list(owner) FILTER (WHERE rt <> 'Совместная собственность'))) AS names,
-         list_sort(list_distinct(list(upper(owner)) FILTER (WHERE rt <> 'Совместная собственность'))) AS names_uc,
-         max(den) FILTER (WHERE rt = 'Долевая собственность') AS max_den,
-         count(*) FILTER (WHERE rt = 'Долевая собственность' AND den IS NOT NULL) AS n_dolei,
-         count(*) FILTER (WHERE rt = 'Долевая собственность' AND den IS NULL AND txt IS NOT NULL) AS n_ga,
-         list_sort(list(txt || ' ' || owner)
-           FILTER (WHERE rt = 'Долевая собственность' AND den IS NULL AND txt IS NOT NULL)) AS ga_pairs,
-         list_sort(list(txt || ' ' || owner)
-           FILTER (WHERE rt = 'Долевая собственность' AND den IS NOT NULL)) AS num_pairs,
-         max(rt) AS right_type,
-         list_sort(list_distinct(list(owner))) AS all_names,
-         list_sort(list_distinct(list(rt || ' ' || owner))) AS pairs
-  FROM rights GROUP BY doc_id)
+         last(rt ORDER BY pos) AS gate,
+         coalesce(list(rt ORDER BY pos)
+           FILTER (WHERE rt <> 'Совместная собственность'), []) AS types,
+         coalesce(list(owner ORDER BY pos)
+           FILTER (WHERE rt <> 'Совместная собственность'), []) AS owners,
+         coalesce(list(den ORDER BY pos)
+           FILTER (WHERE rt = 'Долевая собственность' AND den IS NOT NULL), []) AS dolei,
+         coalesce(list(txt ORDER BY pos)
+           FILTER (WHERE rt = 'Долевая собственность' AND den IS NOT NULL), []) AS dtp,
+         coalesce(list(txt ORDER BY pos)
+           FILTER (WHERE rt = 'Долевая собственность' AND den IS NULL AND txt IS NOT NULL), []) AS ga,
+         coalesce(list(owner ORDER BY pos)
+           FILTER (WHERE rt = 'Совместная собственность'), []) AS jowners,
+         count(*) FILTER (WHERE rt = 'Совместная собственность') AS njr
+  FROM rights GROUP BY doc_id),
+d AS (
+  SELECT doc_id, n_all, gate, types, owners, dolei, dtp, ga,
+         len(types) AS n_types, len(owners) AS n_owners_rows,
+         list_transform(owners, o -> upper(o)) AS dolevikov,
+         len(list_distinct(list_transform(owners, o -> upper(o)))) AS n_set,
+         list_sort(list_distinct(list_transform(owners, o -> upper(o)))) AS set_sorted,
+         CASE WHEN len(owners) BETWEEN 1 AND 2 THEN owners ELSE [] END AS ldn,
+         list_aggregate(dolei, 'max') AS max_den,
+         len(dolei) AS n_dolei, len(ga) AS n_ga,
+         flatten(list_transform(range(njr), x -> jowners)) AS sovm,
+         CASE WHEN len(types) = len(owners)
+              THEN list_transform(range(len(types)),
+                                  i -> types[i + 1] || ' ' || owners[i + 1])
+              WHEN len(types) > 0 AND len(owners) = 0 THEN types
+              WHEN len(list_distinct(types)) = 1 AND len(owners) = 1
+              THEN [types[1] || ' ' || owners[1]]
+              ELSE [] END AS cell_owner
+  FROM g),
+e AS (
+  SELECT d.*, p.category,
+         CASE WHEN len(cell_owner) > 0 THEN cell_owner
+              WHEN category IN ('Земли лесного фонда', 'Земли водного фонда')
+              THEN ['Собственность РФ']
+              ELSE ['Администрация Калининского района'] END AS cell_final,
+         CASE WHEN n_types > 0 AND n_owners_rows = 0 THEN gate ELSE '' END AS b4
+  FROM d JOIN par p USING (doc_id))
 SELECT p.doc_id,
   CASE
-    WHEN g.n_all IS NULL THEN
+    WHEN e.n_all IS NULL THEN
       CASE WHEN p.category IN ('Земли лесного фонда', 'Земли водного фонда')
            THEN 'Собственность РФ'
            ELSE 'Администрация Калининского района' END
-    WHEN g.right_type = 'Долевая собственность' AND g.n_type_rows = 1 AND g.n_rows = 1
-      THEN 'Долевая собственность ' || g.names[1]
-    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0
-         AND g.n_ga = g.n_rows AND g.n_rows <= 2
-      THEN 'Долевая собственность ' || array_to_string(g.ga_pairs, ', ')
-    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0 AND g.n_ga = g.n_rows
-      THEN 'Долевая собственность (' || g.n_owners || ' правообладателей)'
-    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0 AND g.n_dolei > 0
-         AND g.n_owners > 2
-      THEN 'Долевая собственность (' || g.max_den || ' долей; ' || g.n_owners || ' правообладателей)'
-    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0 AND g.n_dolei > 0
-         AND g.n_owners = 2
-      THEN 'Долевая собственность ' || array_to_string(g.names[1:2], ', ')
-           || ' (' || g.max_den || ' долей)'
-    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0 AND g.n_dolei > 0
-      THEN ''
-    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0 AND g.n_owners > 2
-      THEN 'Долевая собственность (' || g.n_owners || ' правообладателей)'
-    WHEN g.right_type = 'Долевая собственность' AND g.n_ga > 0
-      THEN 'Долевая собственность (' || array_to_string(g.names_uc, ', ') || ')'
-    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei > 0 AND g.n_owners = 1
-         AND g.n_rows <= 2
-      THEN 'Долевая собственность (' || g.max_den || ' долей)' || g.names[1]
-    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei > 0 AND g.n_owners = 1
-      THEN ''
-    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei > 0 AND g.n_rows > 2
-      THEN 'Долевая собственность (' || g.max_den || ' долей; ' || g.n_owners || ' правообладателей)'
-    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei > 0 AND g.n_rows = 1
-      THEN 'Долевая собственность ' || g.num_pairs[1]
-    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei >= 2
-      THEN 'Долевая собственность: ' || array_to_string(g.num_pairs, ', ')
-    WHEN g.right_type = 'Долевая собственность' AND g.n_dolei > 0
-      THEN ''
-    WHEN g.right_type = 'Долевая собственность' AND g.n_owners > 0
-      THEN 'Долевая собственность (' || g.n_owners || ' правообладателей)'
-    WHEN g.right_type = 'Долевая собственность' AND g.n_rows = 0
-      THEN g.right_type
-    WHEN g.right_type = 'Совместная собственность'
-      THEN g.right_type || ' ' || array_to_string(g.all_names, ', ')
-    ELSE array_to_string(g.pairs, ', ')
+    WHEN e.gate = 'Долевая собственность' THEN
+      CASE
+        WHEN e.n_types = 1 AND e.n_owners_rows = 1
+          THEN e.types[1] || ' ' || e.owners[1]
+        WHEN e.n_ga > 0 AND e.n_ga = e.n_owners_rows AND e.n_owners_rows <= 2
+          THEN 'Долевая собственность ' || array_to_string(
+                 list_transform(range(e.n_ga), i -> e.ga[i + 1] || ' ' || e.owners[i + 1]), ', ')
+        WHEN e.n_ga > 0 AND e.n_ga = e.n_owners_rows
+          THEN 'Долевая собственность (' || e.n_set || ' правообладателей)'
+        WHEN e.n_ga > 0 AND e.n_dolei > 0 AND e.n_set > 2
+          THEN 'Долевая собственность (' || e.max_den || ' долей; ' || e.n_set || ' правообладателей)'
+        WHEN e.n_ga > 0 AND e.n_dolei > 0 AND e.n_set = 2
+          -- array_to_string([]) is NULL in DuckDB; the empty ldn join
+          -- must yield '' (the reference's ', '.join([]))
+          THEN 'Долевая собственность ' || coalesce(array_to_string(e.ldn, ', '), '')
+               || ' (' || e.max_den || ' долей)'
+        WHEN e.n_ga > 0 AND e.n_dolei > 0 THEN e.b4
+        WHEN e.n_ga > 0 AND e.n_set > 2
+          THEN 'Долевая собственность (' || e.n_set || ' правообладателей)'
+        WHEN e.n_ga > 0
+          THEN 'Долевая собственность (' || array_to_string(e.set_sorted, ', ') || ')'
+        WHEN e.n_dolei > 0 AND e.n_set = 1
+             AND list_contains(e.dolevikov, 'ДАННЫЕ О ПРАВООБЛАДАТЕЛЕ ОТСУТСТВУЮТ')
+          THEN 'Долевая собственность (' || e.max_den || ' долей; данные о правообладателях отсутствуют)'
+        WHEN e.n_dolei > 0 AND e.n_set = 1 AND len(e.dolevikov) <= 2
+          THEN 'Долевая собственность (' || e.max_den || ' долей)' || e.ldn[1]
+        WHEN e.n_dolei > 0 AND e.n_set = 1 THEN e.b4
+        WHEN e.n_dolei > 0 AND len(e.dolevikov) > 2
+          THEN 'Долевая собственность (' || e.max_den || ' долей; ' || e.n_set || ' правообладателей)'
+        WHEN e.n_dolei > 0 AND len(e.dolevikov) = 1
+          THEN 'Долевая собственность ' || e.dtp[1] || ' ' || e.ldn[1]
+        WHEN e.n_dolei > 0 AND len(e.dolevikov) = 2 AND len(e.dtp) >= 2
+          THEN 'Долевая собственность: ' || e.dtp[1] || ' ' || e.ldn[1]
+               || ', ' || e.dtp[2] || ' ' || e.ldn[2]
+        WHEN e.n_dolei > 0 THEN e.b4
+        WHEN e.n_set > 0
+          THEN 'Долевая собственность (' || e.n_set || ' правообладателей)'
+        ELSE e.b4
+      END
+    WHEN len(e.sovm) > 0 THEN
+      CASE WHEN e.sovm = e.owners
+           THEN 'Совместная собственность ' || array_to_string(e.sovm, ', ')
+           ELSE 'Совместная собственность ' || array_to_string(e.sovm, ', ')
+                || ', ' || array_to_string(e.cell_final, ', ') END
+    WHEN e.n_dolei > 0 THEN
+      CASE WHEN e.n_dolei > 2
+           THEN 'Долевая собственность  (' || e.max_den || ' долей; ' || e.n_set || ' правообладателей)'
+           ELSE array_to_string(
+                  list_transform(range(len(e.dtp)),
+                    i -> 'Долевая собственность ' || e.dtp[i + 1] || ' '
+                         || coalesce(e.owners[list_position(e.dtp, e.dtp[i + 1])], '')), ', ')
+                || CASE WHEN e.n_owners_rows = len(e.dtp) + 1 AND e.n_types > 0
+                        THEN ', ' || e.types[1] || ' ' || e.owners[e.n_owners_rows]
+                        ELSE '' END END
+    WHEN len(e.cell_final) = 0 THEN ''
+    ELSE array_to_string(e.cell_final, ', ')
   END AS owner
-FROM par p LEFT JOIN g USING (doc_id)
+FROM par p LEFT JOIN e USING (doc_id)
 """
 
 

@@ -211,12 +211,13 @@ def ingest_owner_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # owners are 'OWNER-{d}-{k}' (initcap -> 'Owner-{d}-{k}'), all rights are
 # shared ownership with share text '{k+1}/{d%9+2}'; the matrix branches on
 # owner count d%3+1 (operators/attrs.py <- real_estate.py:381-452):
-# 1 owner -> B1 'type owner'; 2 owners with 2 numeric shares -> B3e
-# 'type: d1 N1, d2 N2'; 3 owners -> B3c count text
+# 1 owner -> B1 'type owner' with the RAW (uppercase) name — cell_owner[0]
+# is built from the unmodified string (:383-386); 2 owners with 2 numeric
+# shares -> B3e 'type: d1 N1, d2 N2' (initcap'd); 3 owners -> B3c count
 INGEST_OWNER_STRINGS_SQL = """
 SELECT doc_id,
        CASE doc_id % 3
-         WHEN 0 THEN 'Долевая собственность Owner-' || CAST(doc_id AS VARCHAR) || '-0'
+         WHEN 0 THEN 'Долевая собственность OWNER-' || CAST(doc_id AS VARCHAR) || '-0'
          WHEN 1 THEN 'Долевая собственность: '
                      || '1/' || CAST(doc_id % 9 + 2 AS VARCHAR)
                      || ' Owner-' || CAST(doc_id AS VARCHAR) || '-0, '
@@ -400,11 +401,16 @@ WHERE doc_id < 200
 
 def ingest_egrn_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EGRN owner tree END-TO-END (real_estate.py:1076-1239):
-    land_record extracts with 'Общая долевая собственность' right records
-    (1 holder per record; individual / municipality holder kinds) ->
-    parse -> rights_table -> owner_summary; doc_id % 4 spreads docs over
-    the single-holder, two-record, >2-record (no-space-paren quirk), and
-    no-share branches — every owner string recomputable in SQL."""
+    land_record extracts -> parse -> rights_table -> owner_summary;
+    doc_id % 7 spreads docs over the single-holder, two-record,
+    >2-record (no-space-paren quirk) and no-share SHARED branches PLUS
+    the cells_owners paths (:1208-1219): v4 mixes a shared record with a
+    non-shared one (length mismatch -> 'last_type holder'), v5 pairs two
+    non-shared records POSITIONALLY in document order (types chosen so a
+    sort would reorder them), v6 plants an 'Иной субъект права' holder —
+    the reference appends nothing for it (:1206-1207), so the pairing
+    shifts into the mismatch branch.  Every owner string recomputable in
+    SQL."""
     from rosreestr_xml_to_gis_converter_spark.operators.attrs import owner_summary
     from rosreestr_xml_to_gis_converter_spark.pipeline import rights_table
     from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import (
@@ -422,7 +428,7 @@ def ingest_egrn_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 den = d % 7 + 2
-                v = d % 4
+                v = d % 7
                 if v == 0:
                     recs = [
                         {"type": eg, "share": ("1", str(den)),
@@ -440,10 +446,38 @@ def ingest_egrn_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "holders": [("individual", f"Egrnov-{d}-{k} Ivan")]}
                         for k in range(3)
                     ]
-                else:
+                elif v == 3:
                     recs = [
                         {"type": eg, "holders": [("municipality", f"Mun-{d}-{k}")]}
                         for k in range(2)
+                    ]
+                elif v == 4:
+                    # MIXED shared + non-shared: r_type_list has 2 entries,
+                    # lst_holders 1 -> mismatch -> 'last_type holder'
+                    recs = [
+                        {"type": eg, "share": ("1", str(den)),
+                         "holders": [("individual", f"Egrnov-{d}-0 Ivan")]},
+                        {"type": "Собственность",
+                         "holders": [("individual", f"Sobstv-{d} Ivan")]},
+                    ]
+                elif v == 5:
+                    # two non-shared records -> POSITIONAL pairing in
+                    # document order ('Собственность' sorts after
+                    # 'Аренда', so a sorted join would swap them)
+                    recs = [
+                        {"type": "Собственность",
+                         "holders": [("individual", f"Zeta-{d} Ivan")]},
+                        {"type": "Аренда",
+                         "holders": [("municipality", f"Alpha-{d}")]},
+                    ]
+                else:
+                    # the 'another' holder kind appends NOTHING
+                    # (real_estate.py:1206-1207): 2 typed records but only
+                    # 1 holder -> the pairing shifts to the mismatch cell
+                    recs = [
+                        {"type": "Собственность", "holders": [("another", "")]},
+                        {"type": "Аренда",
+                         "holders": [("individual", f"Rent-{d} Ivan")]},
                     ]
                 xml = land_record_xml(
                     f"50:9:{d}", [sq], right_records=egrn_right_records(recs)
@@ -468,7 +502,7 @@ def ingest_egrn_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INGEST_EGRN_OWNER_SQL = """
 SELECT doc_id,
-  CASE doc_id % 4
+  CASE doc_id % 7
     WHEN 0 THEN 'Общая долевая собственность: 1/' || CAST(doc_id % 7 + 2 AS VARCHAR)
                 || ' Egrnov-' || CAST(doc_id AS VARCHAR) || '-0 Ivan'
     WHEN 1 THEN 'Общая долевая собственность: '
@@ -478,8 +512,12 @@ SELECT doc_id,
                 || ' Egrnov-' || CAST(doc_id AS VARCHAR) || '-1 Ivan'
     WHEN 2 THEN 'Общая долевая собственность(' || CAST(doc_id % 7 + 2 AS VARCHAR)
                 || ' долей; 3 правообладателей)'
-    ELSE 'Общая долевая собственность: Mun-' || CAST(doc_id AS VARCHAR)
-         || '-0, Mun-' || CAST(doc_id AS VARCHAR) || '-1'
+    WHEN 3 THEN 'Общая долевая собственность: Mun-' || CAST(doc_id AS VARCHAR)
+                || '-0, Mun-' || CAST(doc_id AS VARCHAR) || '-1'
+    WHEN 4 THEN 'Собственность Sobstv-' || CAST(doc_id AS VARCHAR) || ' Ivan'
+    WHEN 5 THEN 'Собственность Zeta-' || CAST(doc_id AS VARCHAR)
+                || ' Ivan, Аренда Alpha-' || CAST(doc_id AS VARCHAR)
+    ELSE 'Аренда Rent-' || CAST(doc_id AS VARCHAR) || ' Ivan'
   END AS owner
 FROM documents WHERE doc_id < 200
 """
@@ -555,11 +593,16 @@ def ingest_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rosreestr_xml_to_gis_converter_spark.pipeline import export_outputs
     from rosreestr_xml_to_gis_converter_spark.sinks.xlsx import read_xlsx_rows
 
+    import shutil
+
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     parcels = parse_extracts(_kvzu_corpus(docs))
     out_dir = tempfile.mkdtemp(prefix="gate_export_")
-    export_outputs(parcels, out_dir)
-    rows = read_xlsx_rows(os.path.join(out_dir, "real_estate_objects_EGRN.xlsx"))[1:]
+    try:
+        export_outputs(parcels, out_dir)
+        rows = read_xlsx_rows(os.path.join(out_dir, "real_estate_objects_EGRN.xlsx"))[1:]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     pdf = pd.DataFrame(rows, columns=_XLSX_COLS)
     sdf = spark.createDataFrame(
         pdf[
@@ -590,7 +633,7 @@ SELECT '69:10:' || CAST(doc_id // 100 AS VARCHAR) || ':' || CAST(doc_id % 100 AS
        '15.06.2023' AS extract_date,
        CAST(doc_id AS VARCHAR) || '.25' AS cadastral_cost,
        CASE doc_id % 3
-         WHEN 0 THEN 'Долевая собственность Owner-' || CAST(doc_id AS VARCHAR) || '-0'
+         WHEN 0 THEN 'Долевая собственность OWNER-' || CAST(doc_id AS VARCHAR) || '-0'
          WHEN 1 THEN 'Долевая собственность: '
                      || '1/' || CAST(doc_id % 9 + 2 AS VARCHAR)
                      || ' Owner-' || CAST(doc_id AS VARCHAR) || '-0, '
@@ -616,11 +659,16 @@ def ingest_shp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rosreestr_xml_to_gis_converter_spark.pipeline import export_outputs
     from rosreestr_xml_to_gis_converter_spark.sinks import read_shapefile
 
+    import shutil
+
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     parcels = parse_extracts(_kvzu_corpus(docs))
     out_dir = tempfile.mkdtemp(prefix="gate_shp_")
-    export_outputs(parcels, out_dir)
-    recs = read_shapefile(os.path.join(out_dir, "real_estate_objects_EGRN"))
+    try:
+        export_outputs(parcels, out_dir)
+        recs = read_shapefile(os.path.join(out_dir, "real_estate_objects_EGRN"))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     rows = []
     for rings, attrs in recs:
         cad, parent, num_of_cont = attrs[0], attrs[1], attrs[2]

@@ -338,6 +338,11 @@ def egrn_right_records(rights: list[dict]) -> str:
                     f"<russia><name><value>{h[1]}</value></name></russia>"
                     "</public_formation_type></public_formation></right_holder>"
                 )
+            elif h[0] == "another":
+                # 'Иной субъект права' — the reference appends NOTHING for
+                # it (real_estate.py:1206-1207), shifting the positional
+                # r_type_list x lst_holders pairing
+                holders.append("<right_holder><another/></right_holder>")
         number = f"<right_number>{r['number']}</right_number>" if r.get("number") else ""
         date = (
             f"<record_info><registration_date>{r['date']}</registration_date></record_info>"

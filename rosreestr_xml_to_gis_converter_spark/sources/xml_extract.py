@@ -57,7 +57,7 @@ PARAM_NS = "urn://x-artefacts-rosreestr-ru/commons/complex-types/parameters-oks/
 RIGHT_STRUCT = (
     "struct<right_code:string,right_type:string,owner:string,share_num:string,"
     "share_den:string,share_text:string,reg_name:string,reg_number:string,"
-    "reg_date:string>"
+    "reg_date:string,rec_first:boolean>"
 )
 ENC_STRUCT = (
     "struct<enc_code:string,enc_name:string,holder:string,share_text:string,"
@@ -274,13 +274,20 @@ def _kvzu_owner_name(owner_el: ET.Element, ns: str) -> list[str]:
 
 def _parse_share_text(text: str | None) -> tuple[str | None, str | None]:
     """ShareText '3/25' -> (num, den); 'пропорциональн...' and hectare
-    shares stay text-only (real_estate.py:210-218)."""
+    shares stay text-only.  Mirrors the reference's denominator
+    extraction exactly (real_estate.py:215):
+    ``int(re.sub(r"[0-9]+/", '', text))`` — every 'digits/' prefix is
+    stripped and the remainder must parse as an int ('2' alone is a
+    valid numeric share of denominator 2; '10 га' raises -> hectare)."""
     if text is None or re.search(r"пропорциональн", text):
         return None, None
-    m = re.fullmatch(r"\s*(\d+)\s*/\s*(\d+)\s*", text)
-    if m:
-        return m.group(1), m.group(2)
-    return None, None
+    rest = re.sub(r"[0-9]+/", "", text)
+    try:
+        den = int(rest)
+    except ValueError:
+        return None, None
+    m = re.match(r"\s*(\d+)\s*/", text)
+    return (m.group(1) if m else None), str(den)
 
 
 def _kvzu_rights(extract_object_right: ET.Element | None, fallback_container: ET.Element | None, ns: str) -> list[dict]:
@@ -315,7 +322,7 @@ def _kvzu_rights(extract_object_right: ET.Element | None, fallback_container: ET
                 if code is None and reg_name is None:
                     continue  # Right with only Encumbrance children (:498)
                 names = [None]
-            for name in names:
+            for k, name in enumerate(names):
                 rows.append(
                     {
                         "right_code": code,
@@ -327,6 +334,7 @@ def _kvzu_rights(extract_object_right: ET.Element | None, fallback_container: ET
                         "reg_name": reg_name,
                         "reg_number": None,
                         "reg_date": None,
+                        "rec_first": k == 0,  # shares/types count per RIGHT
                     }
                 )
     if not [r for r in rows if r["owner"] is not None or r["right_code"] is not None]:
@@ -370,6 +378,7 @@ def _kvzu_rights(extract_object_right: ET.Element | None, fallback_container: ET
                         "reg_name": None,
                         "reg_number": _txt(right.find(f"{ns}Registration/{ns}RegNumber")),
                         "reg_date": _txt(right.find(f"{ns}Registration/{ns}RegDate")),
+                        "rec_first": True,  # one row per GKN right
                     }
                 )
     return rows
@@ -565,7 +574,7 @@ def _egrn_rights(right_records: ET.Element | None) -> list[dict]:
                 names.extend(_egrn_holder_names(holder))
         if not names:
             names = [None]
-        for name in names:
+        for k, name in enumerate(names):
             rows.append(
                 {
                     "right_code": None,
@@ -577,6 +586,7 @@ def _egrn_rights(right_records: ET.Element | None) -> list[dict]:
                     "reg_name": None,
                     "reg_number": reg_number,
                     "reg_date": reg_date,
+                    "rec_first": k == 0,  # r_type_list/share_list per RECORD
                 }
             )
     return rows

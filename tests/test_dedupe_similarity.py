@@ -219,3 +219,34 @@ def test_embedding_banded_recall_and_exact_twins(spark, emb):
     tw = {(i, i + 500) for i in range(120)}
     found = set(zip(got["id_a"], got["id_b"]))
     assert tw <= found
+
+
+def test_embedding_banding_remainder_and_validation(spark):
+    """bands that do not divide n_planes distribute the remainder bits
+    (no sign bit silently dropped); bands outside [2, n_planes] raise
+    instead of degenerating into a cross join (round-3 ADVICE)."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from rosreestr_xml_to_gis_converter_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    rows += [(100 + i, base[i].tolist()) for i in range(5)]  # exact twins
+    emb = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    got = embedding_near_dup_pairs(
+        emb, threshold=0.999, n_planes=12, bands=5, dim=16
+    ).toPandas()
+    twin_pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    for i in range(5):
+        assert (i, 100 + i) in twin_pairs  # exact twins collide in every band
+    with _pytest.raises(ValueError):
+        embedding_near_dup_pairs(emb, n_planes=12, bands=13, dim=16)
+    with _pytest.raises(ValueError):
+        embedding_near_dup_pairs(emb, n_planes=12, bands=1, dim=16)

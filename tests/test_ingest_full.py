@@ -201,7 +201,11 @@ def test_rights_to_owner_summary_end_to_end(spark):
     assert out["sh.xml"] == (
         "Долевая собственность: 1/4 Иванов Иван Иванович, 3/4 Петров Петр Петрович"
     )
-    assert out["jt.xml"] == "Совместная собственность Сидоров Борис Иванович, Сидорова Анна Петровна"
+    # jt.xml is a land_record -> the EGRN owner tree applies: one record
+    # with a type vs two holders is a length mismatch, so the concat cell
+    # 'last_type h1, h2' fires with holders in DOCUMENT order
+    # (real_estate.py:1215-1218)
+    assert out["jt.xml"] == "Совместная собственность Сидорова Анна Петровна, Сидоров Борис Иванович"
     assert out["fo.xml"] == "Собственность РФ"  # no rights + forest fund
 
 
