@@ -221,7 +221,12 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     assert counts["skew_join_salted"] == counts["skew_join_unsalted"]
 
-    total = round(sum(results.values()), 3)
+    # the skew pair is a stress FIXTURE (deliberately pathological input),
+    # not a headline query — keep `value` comparable with BENCH_r01-r03
+    # by summing only the headline set
+    total = round(
+        sum(v for k, v in results.items() if not k.startswith("skew_join")), 3
+    )
     join_pairs = counts["flagship_spatial_join"]
     throughput = round(join_pairs / results["flagship_spatial_join"], 1)
 
@@ -234,8 +239,14 @@ def main() -> None:
                 "queries": results,
                 "queries_median": medians,
                 "reps": REPS,
+                # hot-boundary-cell stress (half the table in one res-12
+                # cell, non-broadcast join): explicit salting vs the
+                # unsalted shuffled join, AQE on in both
                 "skew_salting_speedup": round(
                     results["skew_join_unsalted"] / results["skew_join_salted"], 2
+                ),
+                "skew_salting_speedup_median": round(
+                    medians["skew_join_unsalted"] / medians["skew_join_salted"], 2
                 ),
                 "sf": sf,
                 "cpus": cpus,
