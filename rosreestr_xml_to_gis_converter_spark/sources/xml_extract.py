@@ -337,9 +337,27 @@ def _kvzu_rights(extract_object_right: ET.Element | None, fallback_container: ET
                         "rec_first": k == 0,  # shares/types count per RIGHT
                     }
                 )
-    if not [r for r in rows if r["owner"] is not None or r["right_code"] is not None]:
-        rows = []
-        # legacy GKN fallback (real_estate.py:287-345)
+    # legacy GKN fallback (real_estate.py:282-345): the reference reads
+    # the GKN block whenever cell_owner is EMPTY — i.e. when the modern
+    # lists mismatch (len(list_type_sobstv) != len(list_owner)) OR both
+    # are empty — and APPENDS the GKN rows to the same lists (with the
+    # `not in list_owner` owner dedup).  Mirror that exactly: count the
+    # modern non-joint types (per record) and owners (per row) and fall
+    # through on mismatch, extending rather than replacing.
+    n_types = sum(
+        1
+        for r in rows
+        if r["rec_first"] and r["right_code"] is not None and r["right_code"] != "001003000000"
+    )
+    modern_owners = [
+        r["owner"]
+        for r in rows
+        if r["owner"] is not None
+        and r["right_code"] is not None
+        and r["right_code"] != "001003000000"
+    ]
+    if n_types == 0 or n_types != len(modern_owners):
+        seen_owners = list(modern_owners)
         rights_gkn = (
             fallback_container.find(f"{ns}Rights") if fallback_container is not None else None
         )
@@ -364,9 +382,19 @@ def _kvzu_rights(extract_object_right: ET.Element | None, fallback_container: ET
                     ]
                     name = " ".join(p for p in parts if p) or None
                 elif org is not None:
-                    name = _txt(org.find(f"{ns}Name"))
+                    # blank Organization/Governance names append ' '
+                    # (real_estate.py:336-345)
+                    name = _txt(org.find(f"{ns}Name")) or " "
                 elif gov is not None:
-                    name = _txt(gov.find(f"{ns}Name"))
+                    name = _txt(gov.find(f"{ns}Name")) or " "
+                if name is not None:
+                    if name in seen_owners:
+                        # the reference's `not in list_owner` dedup
+                        # (:332,335,342): the duplicate owner is skipped,
+                        # the right/type row still counts
+                        name = None
+                    else:
+                        seen_owners.append(name)
                 rows.append(
                     {
                         "right_code": code,

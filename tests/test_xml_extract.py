@@ -260,3 +260,53 @@ def test_dispatch_occ_families_skip_orientation():
 
     k = parse_extract("q.xml", kvoks_xml("69:40:03:79", [ccw], ns=KPOKS_NS))[0]
     assert k["source_schema"] == "KPOKS"
+
+
+def test_gkn_fallback_appends_on_modern_list_mismatch():
+    """real_estate.py:282-287: the legacy GKN Rights block is read
+    whenever cell_owner is EMPTY — which includes the case where modern
+    rights exist but their type/owner lists MISMATCH — and its rows are
+    APPENDED to the same lists with the `not in list_owner` owner dedup
+    (:332,335,342).  Round 4 mirrors that (previously the fallback fired
+    only when the modern block was empty)."""
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import kvzu_xml
+    from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import parse_extract
+
+    import numpy as np
+
+    sq = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+    xml = kvzu_xml(
+        "69:5:5:5",
+        [sq],
+        rights=[
+            {"code": "001005000000", "owner": "Иванов Иван"},
+            {"code": "001005000000"},  # typed right with no Owner -> mismatch
+        ],
+    )
+    gkn = (
+        "<Rights>"
+        "<Right><Type>001005000000</Type>"
+        "<Owners><Owner><Person><FamilyName>Петров</FamilyName>"
+        "<FirstName>Пётр</FirstName></Person></Owner></Owners>"
+        "<Registration><RegNumber>77-77/001</RegNumber>"
+        "<RegDate>2019-01-02</RegDate></Registration></Right>"
+        "<Right><Type>001005000000</Type>"
+        "<Owners><Owner><Person><FamilyName>Иванов</FamilyName>"
+        "<FirstName>Иван</FirstName></Person></Owner></Owners>"
+        "<Registration><RegNumber>77-77/002</RegNumber></Registration></Right>"
+        "</Rights>"
+    )
+    xml = xml.replace("</Parcel>", gkn + "</Parcel>")
+    row = parse_extract("gkn.xml", xml)[0]
+    rights = row["rights"]
+    assert [r["owner"] for r in rights] == ["Иванов Иван", None, "Петров Пётр", None]
+    # the duplicate GKN owner ('Иванов Иван') is dropped by the dedup but
+    # its right row (type + reg number) still lands
+    assert rights[3]["reg_number"] == "77-77/002"
+    assert all(r["rec_first"] for r in rights)
+    # matched modern lists -> the GKN block is NOT read
+    xml_ok = kvzu_xml(
+        "69:5:5:6", [sq], rights=[{"code": "001005000000", "owner": "Иванов Иван"}]
+    ).replace("</Parcel>", gkn + "</Parcel>")
+    row_ok = parse_extract("ok.xml", xml_ok)[0]
+    assert [r["owner"] for r in row_ok["rights"]] == ["Иванов Иван"]
