@@ -14,8 +14,11 @@ thumbnail workloads this engine processes (decode happens inside
 ``mapInPandas`` batches, operators/imaging_ops.py).
 
 Decoder scope (guarded): baseline DCT, Huffman, 8-bit, 1 or 3
-components, no subsampling, optional restart markers.  Progressive /
-subsampled streams raise ``ValueError`` — a documented boundary, not a
+components, ARBITRARY integer sampling factors (4:4:4, 4:2:0, 4:2:2,
+4:1:1 — round 4; chroma upsampled nearest-neighbor per A.1.1), optional
+restart markers.  The encoder emits 4:4:4 (byte-identical to earlier
+rounds) or 4:2:0 (``subsampling='420'``, 2x2 box-decimated chroma).
+Progressive streams raise ``ValueError`` — a documented boundary, not a
 silent wrong answer.
 """
 
@@ -228,26 +231,47 @@ def _encode_component(
     return prev_dc
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
-    """RGB8 (h, w, 3) -> baseline JFIF bytes (4:4:4)."""
+def _plane_to_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H8, W8) plane -> (nby, nbx, 64) quantized zigzag blocks."""
+    h8, w8 = plane.shape
+    blocks = _to_blocks(plane) - 128.0
+    coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    quant = np.round(coef / q).astype(np.int32)
+    return quant.reshape(-1, 64)[:, ZIGZAG].reshape(h8 // 8, w8 // 8, 64)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+    """RGB8 (h, w, 3) -> baseline JFIF bytes.
+
+    ``subsampling``: '444' (default, one block of each component per MCU
+    — byte-identical to the pre-round-4 encoder) or '420' (2x2 luma
+    blocks + one box-averaged block of each chroma per MCU, the layout
+    virtually every camera/web encoder emits)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     h, w, c = arr.shape
     if c != 3:
         raise ValueError("encode_jpeg expects (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     ql, qc = _quality_tables(quality)
-    # pad to block multiple (edge-replicate)
-    h8, w8 = (h + 7) & ~7, (w + 7) & ~7
-    padded = np.pad(arr, ((0, h8 - h), (0, w8 - w), (0, 0)), mode="edge")
+    sub = subsampling == "420"
+    mcu_px = 16 if sub else 8
+    # pad to MCU multiple (edge-replicate)
+    hp = (h + mcu_px - 1) // mcu_px * mcu_px
+    wp = (w + mcu_px - 1) // mcu_px * mcu_px
+    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
     ycc = _rgb_to_ycbcr(padded)
 
-    comps_zz = []
-    for ci in range(3):
-        q = (ql if ci == 0 else qc).reshape(8, 8)
-        blocks = _to_blocks(ycc[..., ci]) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
-        quant = np.round(coef / q).astype(np.int32)
-        comps_zz.append(quant.reshape(-1, 64)[:, ZIGZAG])
+    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
+    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
+    for ci in (1, 2):
+        plane = ycc[..., ci]
+        if sub:
+            # 2x2 box average (the standard decimation filter)
+            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        comps_zz.append(_plane_to_zz(plane, qcm))
 
+    y_samp = 0x22 if sub else 0x11
     out = bytearray(b"\xff\xd8")  # SOI
     # APP0 JFIF: len 16 = 2 + "JFIF\0"(5) + version(2) + units(1) +
     # density(2+2) + thumbnail w/h(1+1)
@@ -258,10 +282,10 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
             int(x) for x in q.reshape(64)[ZIGZAG]
         )
-    # SOF0: 3 components, all 1x1 sampling (4:4:4)
+    # SOF0: 3 components
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack("BBB", cid, 0x11, tq)
+    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack("BBB", cid, samp, tq)
     # DHT x4
     for tc_th, bits, vals in (
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -282,15 +306,28 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     dc_c = _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_c = _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     writer = _BitWriter()
-    # 4:4:4 MCU = one block of each component, interleaved
-    n_blocks = comps_zz[0].shape[0]
-    prev = [0, 0, 0]
     tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
-    for bi in range(n_blocks):
-        for ci in range(3):
-            prev[ci] = _encode_component(
-                comps_zz[ci][bi : bi + 1], tables[ci][0], tables[ci][1], writer, prev[ci]
-            )
+    prev = [0, 0, 0]
+    nby, nbx = comps_zz[1].shape[:2]  # chroma block grid == MCU grid
+    for my in range(nby):
+        for mx in range(nbx):
+            if sub:
+                for by in range(2):
+                    for bx in range(2):
+                        prev[0] = _encode_component(
+                            comps_zz[0][2 * my + by, 2 * mx + bx][None, :],
+                            tables[0][0], tables[0][1], writer, prev[0],
+                        )
+            else:
+                prev[0] = _encode_component(
+                    comps_zz[0][my, mx][None, :], tables[0][0], tables[0][1],
+                    writer, prev[0],
+                )
+            for ci in (1, 2):
+                prev[ci] = _encode_component(
+                    comps_zz[ci][my, mx][None, :], tables[ci][0], tables[ci][1],
+                    writer, prev[ci],
+                )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -355,7 +392,7 @@ def _extend(bits: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> RGB8 array.  4:4:4 (or grayscale) only."""
+    """Baseline JFIF bytes -> RGB8 array (any integer sampling factors)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -397,8 +434,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 6
             for _ in range(nc):
                 cid, samp, tq = seg[p], seg[p + 1], seg[p + 2]
-                if samp != 0x11:
-                    raise ValueError("only 4:4:4 (no subsampling) supported")
                 comps.append((cid, samp, tq))
                 p += 3
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
@@ -427,37 +462,56 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("no scan found")
 
     reader = _BitReader(data[scan_start:])
-    h8, w8 = (h + 7) & ~7, (w + 7) & ~7
-    n_mcu = (h8 // 8) * (w8 // 8)
     ncomp = len(comps)
-    planes = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(ncomp)]
+    # general sampling factors (A.1.1 / A.2.3): an MCU carries hi x vi
+    # blocks of each component; chroma planes are stored subsampled and
+    # upsampled after the IDCT.  Covers 4:4:4, 4:2:0, 4:2:2, 4:1:1 and
+    # grayscale with one code path.
+    his = [(s >> 4) & 0xF for _, s, _ in comps]
+    vis = [s & 0xF for _, s, _ in comps]
+    hmax, vmax = max(his), max(vis)
+    for hi, vi in zip(his, vis):
+        if hi == 0 or vi == 0 or hmax % hi or vmax % vi:
+            raise ValueError(f"unsupported sampling factors {his}x{vis}")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcux * mcuy
+    planes = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+        for hi, vi in zip(his, vis)
+    ]
     prev = [0] * ncomp
-    tq_of = {cid: tq for cid, _, tq in comps}
+    comp_index = {cid: i for i, (cid, _, _) in enumerate(comps)}
     mcu = 0
     while mcu < n_mcu:
+        my, mx = divmod(mcu, mcux)
         try:
-            for ci, (cid, td, ta) in enumerate(scan_comps):
+            for cid, td, ta in scan_comps:
+                ci = comp_index[cid]
+                hi, vi = his[ci], vis[ci]
                 dct = huff[td]
                 act = huff[0x10 | ta]
-                size = _read_huff_symbol(reader, dct)
-                diff = _extend(reader.read_bits(size), size)
-                prev[ci] += diff
-                blk = planes[ci][mcu]
-                blk[0] = prev[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_huff_symbol(reader, act)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    blk[k] = _extend(reader.read_bits(size), size)
-                    k += 1
+                for by in range(vi):
+                    for bx in range(hi):
+                        size = _read_huff_symbol(reader, dct)
+                        diff = _extend(reader.read_bits(size), size)
+                        prev[ci] += diff
+                        blk = planes[ci][my * vi + by, mx * hi + bx]
+                        blk[0] = prev[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_huff_symbol(reader, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(reader.read_bits(size), size)
+                            k += 1
             mcu += 1
         except _RestartMarker:
             reader.pos += 1  # consume the marker byte after 0xFF
@@ -465,10 +519,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prev = [0] * ncomp
     out_planes = []
     for ci, (cid, _, tq) in enumerate(comps):
+        hi, vi = his[ci], vis[ci]
         q = qt[tq]
-        coef = planes[ci][:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64) * q
+        nby, nbx = planes[ci].shape[:2]
+        coef = planes[ci].reshape(-1, 64)[:, UNZIGZAG].reshape(-1, 8, 8).astype(
+            np.float64
+        ) * q
         blocks = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
-        out_planes.append(_from_blocks(blocks, h8, w8)[:h, :w])
+        plane = _from_blocks(blocks, nby * 8, nbx * 8)
+        # crop to the component's true extent, then replicate up to full
+        # resolution (nearest-neighbor upsampling, A.1.1)
+        comp_h = (h * vi + vmax - 1) // vmax
+        comp_w = (w * hi + hmax - 1) // hmax
+        plane = plane[:comp_h, :comp_w]
+        if vi != vmax or hi != hmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(plane[:h, :w])
     if ncomp == 1:
         y = np.clip(out_planes[0].round(), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
