@@ -13,13 +13,18 @@ coding is per-symbol python, which is fine for the Arrow-batched
 thumbnail workloads this engine processes (decode happens inside
 ``mapInPandas`` batches, operators/imaging_ops.py).
 
-Decoder scope (guarded): baseline DCT, Huffman, 8-bit, 1 or 3
-components, ARBITRARY integer sampling factors (4:4:4, 4:2:0, 4:2:2,
-4:1:1 — round 4; chroma upsampled nearest-neighbor per A.1.1), optional
-restart markers.  The encoder emits 4:4:4 (byte-identical to earlier
-rounds) or 4:2:0 (``subsampling='420'``, 2x2 box-decimated chroma).
-Progressive streams raise ``ValueError`` — a documented boundary, not a
-silent wrong answer.
+Decoder scope: baseline (SOF0) AND progressive (SOF2) DCT, Huffman,
+8-bit, 1 or 3 components, ARBITRARY integer sampling factors (4:4:4,
+4:2:0, 4:2:2, 4:1:1 — chroma upsampled nearest-neighbor per A.1.1),
+optional restart markers.  Progressive decode (round 4) covers the full
+T.81 G.2 surface: interleaved DC scans with successive approximation,
+non-interleaved spectral-selection AC bands, EOB runs, and AC
+refinement scans — proven by ``encode_jpeg_progressive`` roundtrips
+that reconstruct coefficients BIT-IDENTICAL to the baseline decode of
+the same image.  The encoders emit 4:4:4 (byte-identical to earlier
+rounds) or 4:2:0 (``subsampling='420'``, 2x2 box-decimated chroma),
+sequential or progressive.  Arithmetic-coded and hierarchical modes
+(SOF9+, rare in the wild) raise ``ValueError``.
 """
 
 from __future__ import annotations
@@ -374,8 +379,24 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _find_entropy_end(data: bytes, start: int) -> int:
+    """First real marker (not ff00 stuffing, not RSTn) after ``start``."""
+    pos = start
+    n = len(data)
+    while True:
+        nxt = data.find(b"\xff", pos)
+        if nxt < 0 or nxt + 1 >= n:
+            return n
+        b2 = data[nxt + 1]
+        if b2 == 0x00 or 0xD0 <= b2 <= 0xD7 or b2 == 0xFF:
+            pos = nxt + 2 if b2 != 0xFF else nxt + 1
+            continue
+        return nxt
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> RGB8 array (any integer sampling factors)."""
+    """Baseline or progressive JFIF bytes -> RGB8 array (any integer
+    sampling factors)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -386,6 +407,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_comps: list[tuple[int, int, int]] = []  # (id, td, ta)
     restart_interval = 0
     scan_start = None
+    progressive = False
+    frame = None  # geometry + coefficient planes, built at first SOS
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -412,14 +435,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
                 qt[tq] = tbl[UNZIGZAG].reshape(8, 8)
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             p = 6
             for _ in range(nc):
                 cid, samp, tq = seg[p], seg[p + 1], seg[p + 2]
                 comps.append((cid, samp, tq))
                 p += 3
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"non-baseline JPEG (SOF{marker & 0xF}) unsupported")
         elif marker == 0xC4:  # DHT
             p = 0
@@ -435,34 +459,40 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             p = 1
+            scan_comps = []
             for _ in range(ns):
                 scan_comps.append((seg[p], seg[p + 1] >> 4, seg[p + 1] & 0xF))
                 p += 2
+            ss, se, ahal = seg[p], seg[p + 1], seg[p + 2]
+            ah, al = ahal >> 4, ahal & 0xF
             scan_start = pos + seglen
-            break
+            if frame is None:
+                frame = _build_frame(h, w, comps)
+            if not progressive:
+                break  # single baseline scan, fast path below
+            end = _find_entropy_end(data, scan_start)
+            _progressive_scan(
+                data[scan_start:end], scan_comps, ss, se, ah, al,
+                frame, huff, restart_interval,
+            )
+            pos = end
+            scan_start = None
+            continue
         pos += seglen
+    if progressive:
+        if frame is None:
+            raise ValueError("no scan found")
+        return _finish_frame(frame, qt)
     if scan_start is None or h is None:
         raise ValueError("no scan found")
 
     scan = data[scan_start:]
     ncomp = len(comps)
-    # general sampling factors (A.1.1 / A.2.3): an MCU carries hi x vi
-    # blocks of each component; chroma planes are stored subsampled and
-    # upsampled after the IDCT.  Covers 4:4:4, 4:2:0, 4:2:2, 4:1:1 and
-    # grayscale with one code path.
-    his = [(s >> 4) & 0xF for _, s, _ in comps]
-    vis = [s & 0xF for _, s, _ in comps]
-    hmax, vmax = max(his), max(vis)
-    for hi, vi in zip(his, vis):
-        if hi == 0 or vi == 0 or hmax % hi or vmax % vi:
-            raise ValueError(f"unsupported sampling factors {his}x{vis}")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    his, vis = frame["his"], frame["vis"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
     n_mcu = mcux * mcuy
-    planes = [
-        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
-        for hi, vi in zip(his, vis)
-    ]
+    planes = frame["planes"]
     prev = [0] * ncomp
     comp_index = {cid: i for i, (cid, _, _) in enumerate(comps)}
     # per-scan decode plan: (component index, blocks-per-MCU grid, LUTs)
@@ -592,6 +622,42 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             marker = None
             acc = nbits = 0
             prev = [0] * ncomp
+    return _finish_frame(frame, qt)
+
+
+def _build_frame(h: int, w: int, comps: list[tuple[int, int, int]]) -> dict:
+    """Frame geometry + zero-initialized coefficient planes.
+
+    General sampling factors (A.1.1 / A.2.3): an MCU carries hi x vi
+    blocks of each component; chroma planes are stored subsampled and
+    upsampled after the IDCT.  Covers 4:4:4, 4:2:0, 4:2:2, 4:1:1 and
+    grayscale with one code path."""
+    his = [(s >> 4) & 0xF for _, s, _ in comps]
+    vis = [s & 0xF for _, s, _ in comps]
+    hmax, vmax = max(his), max(vis)
+    for hi, vi in zip(his, vis):
+        if hi == 0 or vi == 0 or hmax % hi or vmax % vi:
+            raise ValueError(f"unsupported sampling factors {his}x{vis}")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return {
+        "h": h, "w": w, "comps": comps, "his": his, "vis": vis,
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "comp_index": {cid: i for i, (cid, _, _) in enumerate(comps)},
+        "planes": [
+            np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+            for hi, vi in zip(his, vis)
+        ],
+    }
+
+
+def _finish_frame(frame: dict, qt: dict[int, np.ndarray]) -> np.ndarray:
+    """Dequantize + IDCT the coefficient planes, crop, upsample, to RGB."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    his, vis = frame["his"], frame["vis"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    planes = frame["planes"]
     out_planes = []
     for ci, (cid, _, tq) in enumerate(comps):
         hi, vi = his[ci], vis[ci]
@@ -610,7 +676,510 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if vi != vmax or hi != hmax:
             plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
         out_planes.append(plane[:h, :w])
-    if ncomp == 1:
+    if len(comps) == 1:
         y = np.clip(out_planes[0].round(), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
     return _ycbcr_to_rgb(out_planes[0], out_planes[1], out_planes[2])
+
+
+# --- progressive (SOF2) scan decoding ---------------------------------------
+
+
+class _ScanReader:
+    """Bit reader for a single entropy-coded segment: refills byte-wise
+    (unstuffing ff00), stops BEFORE restart markers, and surfaces them as
+    :class:`_RestartMarker` when a read runs out of real bits — same
+    contract as the baseline fast path's inlined accumulator."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "marker")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        data, pos, acc, n = self.data, self.pos, self.acc, self.nbits
+        ln = len(data)
+        while n <= 48 and self.marker is None and pos < ln:
+            b = data[pos]
+            if b == 0xFF:
+                nxt = data[pos + 1] if pos + 1 < ln else 0xD9
+                if nxt == 0x00:
+                    pos += 2
+                    acc = (acc << 8) | 0xFF
+                    n += 8
+                else:
+                    self.marker = nxt
+                    break
+            else:
+                pos += 1
+                acc = (acc << 8) | b
+                n += 8
+        self.pos, self.acc, self.nbits = pos, acc, n
+
+    def _starve(self) -> None:
+        m = self.marker
+        if m is not None and 0xD0 <= m <= 0xD7:
+            self.pos += 2
+            self.marker = None
+            self.acc = 0
+            self.nbits = 0
+            raise _RestartMarker(m)
+        raise ValueError("truncated JPEG entropy stream")
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+            if self.nbits < n:
+                self._starve()
+        nb = self.nbits - n
+        v = (self.acc >> nb) & ((1 << n) - 1)
+        self.nbits = nb
+        self.acc &= (1 << nb) - 1
+        return v
+
+    def read_sym(self, lut: tuple[list[int], list[int]]) -> int:
+        syms, lens = lut
+        if self.nbits < 16:
+            self._fill()
+        n = self.nbits
+        idx = (
+            (self.acc >> (n - 16)) & 0xFFFF
+            if n >= 16
+            else (self.acc << (16 - n)) & 0xFFFF
+        )
+        ln = lens[idx]
+        if ln == 0 or ln > n:
+            if n < 16:
+                self._starve()
+            raise ValueError("invalid Huffman code")
+        self.nbits = n - ln
+        self.acc &= (1 << self.nbits) - 1
+        return syms[idx]
+
+
+def _progressive_scan(
+    scan: bytes,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    frame: dict,
+    huff: dict[int, tuple[list[int], list[int]]],
+    restart_interval: int,
+) -> None:
+    """Decode one progressive scan into the frame's coefficient planes
+    (T.81 G.2: spectral selection + successive approximation, EOBRUN,
+    restart markers reset predictors/EOBRUN and retry the current unit)."""
+    r = _ScanReader(scan)
+    planes = frame["planes"]
+    comp_index = frame["comp_index"]
+    his, vis = frame["his"], frame["vis"]
+    p1 = 1 << al
+
+    if ss == 0:
+        # DC scan — the only scan type that may interleave components
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        plan = [
+            (comp_index[cid], his[comp_index[cid]], vis[comp_index[cid]],
+             huff.get(td) if ah == 0 else None)
+            for cid, td, _ in scan_comps
+        ]
+        if ah == 0 and any(t is None for _, _, _, t in plan):
+            raise ValueError("missing DC Huffman table")
+        mcux, mcuy = frame["mcux"], frame["mcuy"]
+        if len(scan_comps) == 1:
+            # non-interleaved single-component DC scan walks the comp's
+            # own block grid (no MCU padding blocks)
+            ci, hi, vi, dlut = plan[0]
+            bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
+            bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
+            nbx, nby = (bw + 7) // 8, (bh + 7) // 8
+            units = [(ci, by, bx, dlut) for by in range(nby) for bx in range(nbx)]
+        else:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, hi, vi, dlut in plan:
+                        for by in range(vi):
+                            for bx in range(hi):
+                                units.append((ci, my * vi + by, mx * hi + bx, dlut))
+        prev = [0] * len(planes)
+        # group units per MCU/block for restart retry semantics
+        ui = 0
+        while ui < len(units):
+            ci, by, bx, dlut = units[ui]
+            try:
+                blk = planes[ci][by, bx]
+                if ah == 0:
+                    size = r.read_sym(dlut)
+                    diff = _extend(r.read_bits(size), size)
+                    prev[ci] += diff
+                    blk[0] = prev[ci] << al
+                else:
+                    if r.read_bits(1):
+                        blk[0] = int(blk[0]) | p1
+                ui += 1
+            except _RestartMarker:
+                prev = [0] * len(planes)
+        return
+
+    # AC scan — always a single component (G.1.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    cid, _, ta = scan_comps[0]
+    ci = comp_index[cid]
+    alut = huff.get(0x10 | ta)
+    if alut is None:
+        raise ValueError("missing AC Huffman table")
+    hi, vi = his[ci], vis[ci]
+    bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
+    bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
+    nbx, nby = (bw + 7) // 8, (bh + 7) // 8
+    rows = planes[ci]
+    eobrun = 0
+    m1 = -p1
+    bi = 0
+    n_blocks = nby * nbx
+    while bi < n_blocks:
+        by, bx = divmod(bi, nbx)
+        blk = rows[by, bx]
+        try:
+            if ah == 0:
+                # first scan for this band (G.1.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        sym = r.read_sym(alut)
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run != 15:
+                                eobrun = (1 << run) - 1
+                                if run:
+                                    eobrun += r.read_bits(run)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        blk[k] = _extend(r.read_bits(size), size) * p1
+                        k += 1
+            else:
+                # refinement scan (G.1.2.3, the libjpeg AC_refine walk)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = r.read_sym(alut)
+                        run, size = sym >> 4, sym & 0xF
+                        newval = 0
+                        if size == 0:
+                            if run != 15:
+                                # refinement EOBn: the count INCLUDES the
+                                # current block, whose remaining coefs are
+                                # refined below (which also decrements)
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += r.read_bits(run)
+                                break
+                            # ZRL: advance over 16 zero-HISTORY coefs
+                        else:
+                            if size != 1:
+                                raise ValueError("invalid AC refinement size")
+                            newval = p1 if r.read_bits(1) else m1
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if r.read_bits(1) and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if run == 0:
+                                    if newval:
+                                        blk[k] = newval
+                                    break
+                                run -= 1
+                            k += 1
+                        k += 1
+                if eobrun > 0:
+                    # EOB run covers this block: refine its remaining
+                    # nonzero coefficients, consume one unit of the run
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if r.read_bits(1) and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+            bi += 1
+        except _RestartMarker:
+            eobrun = 0
+
+
+# --- progressive (SOF2) encoding ---------------------------------------------
+
+
+def _emit_eobrun(writer: _BitWriter, ac_tbl: dict, eobrun: int, bits: list[int]) -> None:
+    """EOBn symbol for ``eobrun`` blocks + the correction bits buffered
+    by those blocks (refinement scans append them after the run)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        code, ln = ac_tbl[nbits << 4]
+        writer.write(code, ln)
+        if nbits:
+            writer.write(eobrun - (1 << nbits), nbits)
+    for b in bits:
+        writer.write(b, 1)
+
+
+def _encode_ac_first(
+    writer: _BitWriter, blocks: np.ndarray, ac_tbl: dict, ss: int, se: int, al: int
+) -> None:
+    """First AC scan of a band (G.1.2.2): magnitudes |v| >> al with EOBn
+    batching across all-below-threshold blocks."""
+    eobrun = 0
+    for blk in blocks.reshape(-1, 64):
+        mags = [0] * (se + 1)
+        last = -1
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            m = (v if v >= 0 else -v) >> al
+            mags[k] = m if v >= 0 else -m
+            if m:
+                last = k
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(writer, ac_tbl, eobrun, [])
+                eobrun = 0
+            continue
+        _emit_eobrun(writer, ac_tbl, eobrun, [])
+        eobrun = 0
+        run = 0
+        for k in range(ss, last + 1):
+            t = mags[k]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tbl[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            size, bits = _magnitude(t)
+            code, ln = ac_tbl[(run << 4) | size]
+            writer.write(code, ln)
+            writer.write(bits, size)
+            run = 0
+        if last < se:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(writer, ac_tbl, eobrun, [])
+                eobrun = 0
+    _emit_eobrun(writer, ac_tbl, eobrun, [])
+
+
+def _encode_ac_refine(
+    writer: _BitWriter, blocks: np.ndarray, ac_tbl: dict, ss: int, se: int, al: int
+) -> None:
+    """AC refinement scan (G.1.2.3, the libjpeg encode_mcu_AC_refine
+    walk): newly-significant coefficients code (run<<4)|1 + a sign bit;
+    already-significant ones contribute buffered correction bits; blocks
+    whose band tail is all history-zero defer to an EOB run that carries
+    its blocks' buffered bits."""
+    eobrun = 0
+    eob_bits: list[int] = []
+    for blk in blocks.reshape(-1, 64):
+        mags = [0] * (se + 1)
+        signs = [0] * (se + 1)
+        eobpos = 0
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            m = (v if v >= 0 else -v) >> al
+            mags[k] = m
+            signs[k] = 1 if v >= 0 else 0
+            if m == 1:
+                eobpos = k  # last newly-significant coefficient
+        run = 0
+        cur_bits: list[int] = []
+        for k in range(ss, se + 1):
+            t = mags[k]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eobpos:
+                _emit_eobrun(writer, ac_tbl, eobrun, eob_bits)
+                eobrun = 0
+                eob_bits = []
+                code, ln = ac_tbl[0xF0]
+                writer.write(code, ln)
+                run -= 16
+                for b in cur_bits:
+                    writer.write(b, 1)
+                cur_bits = []
+            if t > 1:
+                cur_bits.append(t & 1)  # correction bit, history nonzero
+                continue
+            _emit_eobrun(writer, ac_tbl, eobrun, eob_bits)
+            eobrun = 0
+            eob_bits = []
+            code, ln = ac_tbl[(run << 4) | 1]
+            writer.write(code, ln)
+            writer.write(signs[k], 1)
+            for b in cur_bits:
+                writer.write(b, 1)
+            cur_bits = []
+            run = 0
+        if run > 0 or cur_bits:
+            eobrun += 1
+            eob_bits.extend(cur_bits)
+            if eobrun == 0x7FFF:
+                _emit_eobrun(writer, ac_tbl, eobrun, eob_bits)
+                eobrun = 0
+                eob_bits = []
+    _emit_eobrun(writer, ac_tbl, eobrun, eob_bits)
+
+
+# Progressive AC scans need EOBn symbols (r<<4|0 for r=1..14), which the
+# Annex K BASELINE tables do not contain — real progressive encoders ship
+# custom tables.  This flat 8-bit-code table covers every (run, size)
+# pair incl. all EOBn and ZRL: 176 symbols, all length 8 (canonical codes
+# 0..175, well clear of the reserved all-ones code).  Compression is a
+# few percent worse than an optimized table; correctness is identical.
+AC_PROG_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _sos_header(scomps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
+    for cid, tdta in scomps:
+        out += struct.pack("BB", cid, tdta)
+    return out + struct.pack("BBB", ss, se, (ah << 4) | al)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """RGB8 (h, w, 3) -> PROGRESSIVE JFIF bytes (SOF2).
+
+    Scan script (a compact version of libjpeg's default — exercises every
+    progressive decode path: interleaved DC with successive
+    approximation, non-interleaved spectral-selection AC bands, EOB runs,
+    and AC refinement scans):
+
+      1. DC  all comps   Ah=0 Al=1
+      2. DC  all comps   Ah=1 Al=0   (refinement bit)
+      3. AC  per comp    Ss=1..5   Ah=0 Al=2
+      4. AC  per comp    Ss=6..63  Ah=0 Al=2
+      5. AC  per comp    Ss=1..63  Ah=2 Al=1   (refinement)
+      6. AC  per comp    Ss=1..63  Ah=1 Al=0   (refinement)
+    """
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_jpeg_progressive expects (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    ql, qc = _quality_tables(quality)
+    sub = subsampling == "420"
+    mcu_px = 16 if sub else 8
+    hp = (h + mcu_px - 1) // mcu_px * mcu_px
+    wp = (w + mcu_px - 1) // mcu_px * mcu_px
+    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded)
+    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
+    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
+    for ci in (1, 2):
+        plane = ycc[..., ci]
+        if sub:
+            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        comps_zz.append(_plane_to_zz(plane, qcm))
+
+    y_samp = 0x22 if sub else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    for tid, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in q.reshape(64)[ZIGZAG]
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack("BBB", cid, samp, tq)
+    for tc_th, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x12, AC_PROG_BITS, AC_PROG_VALS),  # shared progressive AC table
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    dc_l = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_p = _huff_codes(AC_PROG_BITS, AC_PROG_VALS)
+    dc_tbls = [dc_l, dc_c, dc_c]
+    ac_tbls = [ac_p, ac_p, ac_p]
+    sampling = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+    nby, nbx = comps_zz[1].shape[:2]  # chroma grid == MCU grid
+
+    def mcu_dc_order():
+        for my in range(nby):
+            for mx in range(nbx):
+                for ci, (shi, svi) in enumerate(sampling):
+                    for by in range(svi):
+                        for bx in range(shi):
+                            yield ci, int(comps_zz[ci][svi * my + by, shi * mx + bx, 0])
+
+    # scan 1: DC first, Al=1 (arithmetic shift of the SIGNED value)
+    out += _sos_header([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    prev = [0, 0, 0]
+    for ci, dc in mcu_dc_order():
+        v = dc >> 1
+        size, bits = _magnitude(v - prev[ci])
+        code, ln = dc_tbls[ci][size]
+        wtr.write(code, ln)
+        if size:
+            wtr.write(bits, size)
+        prev[ci] = v
+    wtr.flush()
+    out += wtr.out
+    # scan 2: DC refinement, Al=0
+    out += _sos_header([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for _, dc in mcu_dc_order():
+        wtr.write(dc & 1, 1)
+    wtr.flush()
+    out += wtr.out
+    # scans 3-6: AC bands per component.  Non-interleaved scans cover
+    # ONLY ceil(comp_dim/8) blocks (A.2.2) — the MCU-padding row/column
+    # of the 4:2:0 luma grid is NOT coded, exactly as the decoder walks.
+    samp_grid = []
+    for ci, (shi, svi) in enumerate(sampling):
+        cw = (w * shi + (2 if sub else 1) - 1) // (2 if sub else 1)
+        ch = (h * svi + (2 if sub else 1) - 1) // (2 if sub else 1)
+        samp_grid.append(((ch + 7) // 8, (cw + 7) // 8))
+    for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)):
+        for ci in range(3):
+            cid = ci + 1
+            # Td unused in AC scans; Ta=2 = the shared progressive table
+            out += _sos_header([(cid, 0x02)], ss, se, ah, al)
+            wtr = _BitWriter()
+            cby, cbx = samp_grid[ci]
+            blocks = comps_zz[ci][:cby, :cbx]
+            if ah == 0:
+                _encode_ac_first(wtr, blocks, ac_tbls[ci], ss, se, al)
+            else:
+                _encode_ac_refine(wtr, blocks, ac_tbls[ci], ss, se, al)
+            wtr.flush()
+            out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

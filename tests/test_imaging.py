@@ -183,11 +183,19 @@ def test_real_jpeg_rejects_non_baseline():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
-    # progressive SOF2 is a guarded boundary, not a wrong answer
+    # arithmetic-coded SOF9 is a guarded boundary, not a wrong answer
+    # (SOF2 progressive is SUPPORTED since round 4; a baseline stream
+    # relabeled SOF2 still errors because its scan violates G.1 --
+    # a DC band with Se=63)
     rng = np.random.default_rng(16)
     data = bytearray(encode_jpeg(gen_image_array(rng, 16, 16), 90))
-    data[data.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    sof = data.index(b"\xff\xc0")
+    for bad in (0xC9, 0xC3):
+        data[sof + 1] = bad
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(bytes(data))
+    data[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(bytes(data))
 
 
@@ -253,3 +261,53 @@ def test_jpeg_422_decode():
     out = decode_jpeg(encode_jpeg(img, 95, subsampling="420"))
     assert out.shape == (10, 34, 3)
     assert int(np.abs(out.astype(int) - 200).max()) <= 2
+
+
+def test_jpeg_progressive_roundtrip_bit_identical():
+    """Round 4: progressive (SOF2) decode — interleaved DC with
+    successive approximation, spectral-selection AC bands, EOB runs, AC
+    refinement scans.  The progressive encoder's scan script exercises
+    every path, and the decoded image must be BIT-IDENTICAL to the
+    baseline decode of the same input (same coefficients, same IDCT)."""
+    import numpy as np
+
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(99)
+    cases = []
+    for h, w in [(64, 64), (37, 53), (16, 16), (94, 165)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        grad = (np.stack([xx, yy, xx + yy], -1) % 256).astype(np.uint8)
+        noise = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        cases += [(grad, "444"), (noise, "444"), (grad, "420"), (noise, "420")]
+    for img, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, 90, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 90, subsampling=sub))
+        assert (base == prog).all(), (img.shape, sub)
+    flat = np.full((24, 40, 3), 77, np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(flat, 90)) == flat).all()
+
+
+def test_jpeg_progressive_stream_structure():
+    """The progressive stream really is SOF2 with multiple scans (not a
+    baseline file in disguise), and low quality exercises EOB runs > 1."""
+    import numpy as np
+
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((48, 48, 3), 100, np.uint8)
+    img[0:8, 0:8] = 200  # one busy block among many empty ones -> EOBn
+    b = encode_jpeg_progressive(img, 35)
+    assert b"\xff\xc2" in b and b"\xff\xc0" not in b
+    assert b.count(b"\xff\xda") == 14  # 2 DC scans + 4 bands x 3 comps
+    assert (decode_jpeg(b) == decode_jpeg(encode_jpeg(img, 35))).all()
