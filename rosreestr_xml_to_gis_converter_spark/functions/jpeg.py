@@ -240,13 +240,21 @@ def _plane_to_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return quant.reshape(-1, 64)[:, ZIGZAG].reshape(h8 // 8, w8 // 8, 64)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """RGB8 (h, w, 3) -> baseline JFIF bytes.
 
     ``subsampling``: '444' (default, one block of each component per MCU
     — byte-identical to the pre-round-4 encoder) or '420' (2x2 luma
     blocks + one box-averaged block of each chroma per MCU, the layout
-    virtually every camera/web encoder emits)."""
+    virtually every camera/web encoder emits).  ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that many MCUs (DC
+    predictors reset) — what camera firmware writes for error
+    resilience."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     h, w, c = arr.shape
     if c != 3:
@@ -295,6 +303,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") ->
     ):
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
+    if restart_interval > 0:  # DRI
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
@@ -309,8 +319,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") ->
     tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
     prev = [0, 0, 0]
     nby, nbx = comps_zz[1].shape[:2]  # chroma block grid == MCU grid
+    mcu_i = 0
+    rst = 0
     for my in range(nby):
         for mx in range(nbx):
+            if restart_interval > 0 and mcu_i > 0 and mcu_i % restart_interval == 0:
+                # byte-align with 1-bits, emit RSTn, reset DC predictors
+                writer.flush()
+                out += writer.out
+                out += bytes((0xFF, 0xD0 | rst))
+                rst = (rst + 1) & 7
+                writer = _BitWriter()
+                prev = [0, 0, 0]
+            mcu_i += 1
             if sub:
                 for by in range(2):
                     for bx in range(2):

@@ -311,3 +311,24 @@ def test_jpeg_progressive_stream_structure():
     assert b"\xff\xc2" in b and b"\xff\xc0" not in b
     assert b.count(b"\xff\xda") == 14  # 2 DC scans + 4 bands x 3 comps
     assert (decode_jpeg(b) == decode_jpeg(encode_jpeg(img, 35))).all()
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn streams (camera error-resilience layout) decode
+    bit-identically to the same image without restarts — exercising the
+    inlined reader's marker-stop + predictor-reset path."""
+    import numpy as np
+
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w, sub, ri in [(48, 64, "444", 1), (37, 53, "444", 2), (64, 96, "420", 1)]:
+        img = np.clip(rng.normal(128, 50, (h, w, 3)), 0, 255).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, 85, subsampling=sub))
+        b = encode_jpeg(img, 85, subsampling=sub, restart_interval=ri)
+        assert b"\xff\xdd" in b  # DRI present
+        assert any(bytes((0xFF, 0xD0 | i)) in b for i in range(8))
+        assert (decode_jpeg(b) == plain).all()
