@@ -126,3 +126,22 @@ def test_owner_summary_plan_no_python(spark):
     assert pc.python_stages() == 0
     assert "CartesianProduct" not in pc.final
     assert "ObjectHashAggregate" in pc.final or "SortAggregate" in pc.final
+
+
+def test_knn_grid_fallback_single_scan_no_shuffle(spark, sf_dir):
+    """The <k-candidates whole-layer fallback must NOT rescan the image
+    side (a covered/frontier union would scan it twice — the bug class
+    this pins) and must add no Exchange on the big side: one parquet
+    scan of lineitem, broadcast joins only."""
+    from rosreestr_xml_to_gis_converter_spark.queries_engine import knn_parcels
+
+    df = knn_parcels(spark, sf_dir)
+    pc = plan_checks(df, execute=True)
+    assert pc.python_stages() == 0
+    # exactly ONE scan of the image-side parquet (lineitem)
+    assert pc.final.count("Scan parquet") - pc.final.count("Scan parquet spark_catalog") <= 2
+    assert pc.final.lower().count("lineitem") <= 2  # scan + its reuse marker at most
+    # the big side never shuffles: every Exchange in the plan belongs to
+    # the (tiny) centroid-side aggregations or the gate's dropDuplicates
+    # -- assert the join itself is broadcast
+    assert pc.has_broadcast_join()
