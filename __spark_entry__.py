@@ -15,8 +15,9 @@ Round 4 rotates in the nine round-3 oracle queries that had never been
 driver-checked (ingest_zip_extract, ingest_export_roundtrip,
 ingest_shp_roundtrip, ingest_egrn_owner, ingest_error_quarantine,
 sim_ann_ivf_planted, image_resize_planted, stream_user_totals,
-stream_lww_winner) plus the two new round-4 oracles (knn_uncovered,
-checkpoint_lineage).  Rows-only organic variants whose recall evidence
+stream_lww_winner) plus the three new round-4 oracles (knn_uncovered,
+checkpoint_lineage, dedup_phash_planted — the perceptual-hash image
+near-dup operator).  Rows-only organic variants whose recall evidence
 is carried by planted-oracle twins were removed from the registry
 entirely (round-3 VERDICT next-round #8) — the operators remain in the
 package and in bench.py.  Tail queries remain fully runnable — only the
@@ -79,6 +80,8 @@ _TAIL = [
     "setops",                          # green r02+r03; generic SQL breadth
     "cube_agg",                        # green r02+r03; rollup_agg covers the family
     "s1_scan",                         # green r01+r02+r03
+    "e2_explode_regex",                # green r01+r02+r03; family also
+                                       # proven by ingest_multi_contour
     "p2_filter_anti",                  # green r01+r02+r03
     "e1_explode_entry",                # green r01+r02+r03
     "a2_set_dedup",                    # green r01+r02+r03

@@ -211,3 +211,79 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    max_hamming: int,
+    id_col: str = "id",
+    hash_col: str = "h",
+    n_bits: int = 64,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs over an EXISTING n-bit fingerprint column by banded
+    hamming search: split the fingerprint into ``n_bands`` chunks
+    (default ``max_hamming + 1`` — the pigeonhole count that GUARANTEES
+    two hashes within the radius collide on at least one untouched
+    chunk), equi-self-join on (band, chunk), verify the exact distance
+    with ``bit_count(xor)``.  The join is a bucket join on chunk values,
+    never all-pairs — the same 10^12-row shape as the MinHash/SimHash
+    paths.  Remainder bits are distributed so no bit is dropped."""
+    n_bands = max_hamming + 1 if n_bands is None else n_bands
+    if not 1 <= n_bands <= n_bits:
+        raise ValueError(f"n_bands must be in [1, {n_bits}], got {n_bands}")
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at hamming {max_hamming} "
+            f"(pigeonhole needs > max_hamming bands)"
+        )
+    width = n_bits // n_bands
+    widths = [width + (1 if i < n_bits % n_bands else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    s = df.select(F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("hh"))
+    chunks = s.select(
+        "id",
+        "hh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("hh", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "hh", "bk.band", "bk.key")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.hh").bitwiseXOR(F.col("b.hh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def phash_near_pairs(
+    images: DataFrame, max_hamming: int = 4, id_col: str = "image_id"
+) -> DataFrame:
+    """Image near-duplicates by perceptual hash: the input table already
+    carries a 64-bit ``phash`` (BASELINE input_hint), so near-dup
+    detection is a pure fingerprint-banding join — no decode, no Python.
+    Radius 4 is the usual pHash near-dup threshold."""
+    return hamming_near_pairs(
+        images, max_hamming, id_col=id_col, hash_col="phash"
+    )

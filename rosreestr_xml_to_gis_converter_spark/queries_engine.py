@@ -302,6 +302,43 @@ FROM orders GROUP BY 1
 """
 
 
+# --- image near-dup by perceptual hash (training-data op, round 4) -----------
+
+def dedup_phash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash near-dup with a planted-distance oracle: for every distinct
+    image with orderkey < 400, a twin id '<id>~' is planted whose phash
+    differs in EXACTLY k = orderkey % 7 low bits.  The banding join must
+    surface precisely the twins with k <= 4 (the radius) at their exact
+    hamming distance — missed recall or an organic false pair breaks the
+    hash.  Organic pairs are absent on this input by construction
+    (verified: the LCG-mixed phashes of the base subset share no
+    <=4-hamming pair), so the oracle is closed-form."""
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import phash_near_pairs
+
+    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    okey = F.split("image_id", "-")[1].cast("long")
+    base = img.filter(okey < 400).select("image_id", "phash")
+    k = F.split("image_id", "-")[1].cast("long") % 7
+    # flip exactly the k low bits (2^k - 1; pow is exact for k <= 6)
+    mask = (F.pow(F.lit(2.0), k.cast("double"))).cast("long") - 1
+    twins = base.select(
+        F.concat("image_id", F.lit("~")).alias("image_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+    )
+    out = phash_near_pairs(base.unionByName(twins), max_hamming=4)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+DEDUP_PHASH_PLANTED_SQL = """
+WITH base AS (
+  SELECT DISTINCT concat('img-', l_orderkey, '-', l_linenumber) AS id,
+         l_orderkey % 7 AS k
+  FROM lineitem WHERE l_orderkey < 400)
+SELECT id AS id_a, id || '~' AS id_b, CAST(k AS BIGINT) AS hamming
+FROM base WHERE k <= 4
+"""
+
+
 # --- owner-aggregation matrix (A1, real_estate.py:183-452) -------------------
 
 def a1_owner_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1169,6 +1206,7 @@ ENGINE_QUERIES = {
     "image_features": image_features_q,
     "video_frame_sample": video_frame_sample,
     "dedup_exact": dedup_exact,
+    "dedup_phash_planted": dedup_phash_planted,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_planted": dedup_minhash_planted,
@@ -1207,6 +1245,7 @@ ENGINE_ORACLES = {
     "image_resize_planted": IMAGE_RESIZE_PLANTED_SQL,
     "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_phash_planted": DEDUP_PHASH_PLANTED_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_planted": DEDUP_MINHASH_PLANTED_SQL,
     "dedup_simhash_planted": DEDUP_SIMHASH_PLANTED_SQL,

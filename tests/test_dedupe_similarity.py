@@ -250,3 +250,49 @@ def test_embedding_banding_remainder_and_validation(spark):
         embedding_near_dup_pairs(emb, n_planes=12, bands=13, dim=16)
     with _pytest.raises(ValueError):
         embedding_near_dup_pairs(emb, n_planes=12, bands=1, dim=16)
+
+
+def test_hamming_near_pairs_recall_and_validation(spark):
+    """Banded hamming search over an existing fingerprint column: with
+    max_hamming+1 bands the pigeonhole guarantees EVERY pair within the
+    radius is found (planted flips at each distance 0..7); beyond the
+    radius nothing is emitted; invalid band counts raise."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import (
+        hamming_near_pairs,
+    )
+
+    rng = np.random.default_rng(77)
+    base = rng.integers(-(2**63), 2**63 - 1, 40, dtype=np.int64)
+    rows = [(f"b{i:02d}", int(h)) for i, h in enumerate(base)]
+    # twin of b_i at hamming distance i % 8 (flip i%8 SPREAD bits so the
+    # flips cross band boundaries, not just the low chunk)
+    for i, h in enumerate(base):
+        d = i % 8
+        m = 0
+        for j in range(d):
+            m |= 1 << ((j * 13 + i) % 64)
+        if m >= 1 << 63:
+            m -= 1 << 64  # to signed-64 range before the numpy xor
+        rows.append((f"t{i:02d}", int(np.int64(h) ^ np.int64(m))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "h"]))
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_pairs(df, max_hamming=4).collect()
+    }
+    for i in range(40):
+        d = i % 8
+        key = (f"b{i:02d}", f"t{i:02d}")
+        if d <= 4:
+            assert got.get(key) == d, (key, d, got.get(key))
+        else:
+            assert key not in got
+    # organic pairs among 40 random 64-bit values at radius 4: none
+    assert all(a[0] == "b" and b[0] == "t" for a, b in got)
+    with _pytest.raises(ValueError):
+        hamming_near_pairs(df, max_hamming=4, n_bands=3)  # < pigeonhole
+    with _pytest.raises(ValueError):
+        hamming_near_pairs(df, max_hamming=4, n_bands=65)
