@@ -503,89 +503,160 @@ def _lit_map(mapping: dict[str, str]) -> Column:
 def with_rights_strings(parcels: DataFrame) -> DataFrame:
     """Add the reference's three rights/encumbrance string columns from
     the structured arrays — pure Column expressions (higher-order array
-    functions + literal classifier maps; the RIGHT/ENCUMBRANCE dims are
-    9/22 entries, well under literal-map size concerns):
+    functions + literal classifier maps), FAMILY-AWARE since round 4:
+    the KVZU-family and EGRN classes build these columns differently and
+    so does this operator, branching on ``source_schema``.
 
-    * own_name_reg_numb_date (column I, real_estate.py:453-497 KVZU /
-      :1242-1270 EGRN): 'type №number от date' per right, '; '-joined,
-      '-' when empty;
+    * own_name_reg_numb_date (column I):
+      KVZU (real_estate.py:453-497): the modern block contributes ONLY
+      ``Registration/Name`` texts, in document order, duplicates KEPT,
+      NO synthesized entries; the legacy GKN block is consulted only
+      when that list is empty, with its three branches ('label №num от
+      date' / the 'name; number' semicolon quirk / bare name); ''-joined
+      with '; ', '' when empty.
+      EGRN (:1242-1270): one 'type №number от date' per record (all
+      three parts always concatenated, missing ones as ''), '; '-joined,
+      '-' when empty.
     * encumbrances_str (column J, :498-619 / :1272-1400): 'type holder'
-      deduped and joined;
-    * enc_name_reg_numb_date_duration (column K, :620-682 / :1402-1449):
-      'name №number от date, term' / 'docs, срок действия: term'.
-
-    Entries keep XML DOCUMENT ORDER: the parsed ``rights``/
-    ``encumbrances`` arrays are per-row and already document-ordered, and
-    ``array_distinct`` keeps the FIRST occurrence — exactly the
-    reference's ``if entry not in list: list.append(entry)`` dedup
-    (real_estate.py:496,525-526,682).
+      first-occurrence-deduped and joined.  Deviation (documented): the
+      reference joins a Python SET for owner-less/EGRN entries — its
+      iteration order is interpreter-hash arbitrary and the EGRN variant
+      additionally re-emits prior holders under later types through a
+      never-cleared accumulator (:1299-1305), so no distributed (or
+      sequential!) implementation can match it byte-for-byte; this
+      operator emits the deduped entries in document order.
+    * enc_name_reg_numb_date_duration (column K):
+      KVZU (:620-682): encumbrances WITH a Duration element emit
+      'docs, срок действия: term' (term '' when the element is empty),
+      first-occurrence dedup; GKN fallback when none:
+      'label №(RegNumber|CadastralNumberRestriction) от RegDate';
+      '; '-joined, '' when empty.
+      EGRN (:1402-1449): 'name №number от date, term' when all four
+      parts are present, ', '-joined, '-' when empty.
     """
     from rosreestr_xml_to_gis_converter_spark.classifiers import ENCUMBRANCE, RIGHT
 
     right_map = _lit_map(RIGHT)
     enc_map = _lit_map(ENCUMBRANCE)
+    egrn = (
+        F.col("source_schema").isin("land_record", "build_record")
+        if "source_schema" in parcels.columns
+        else F.lit(False)
+    )
 
-    def rtype(r):
-        return F.coalesce(r["right_type"], F.element_at(right_map, r["right_code"]))
+    def entries(arr_col, fn):
+        return F.filter(F.transform(arr_col, fn), lambda x: x.isNotNull())
 
-    def own_entry(r):
-        return F.coalesce(
-            r["reg_name"],
+    def joinor(arr, sep, default):
+        return F.when(F.size(arr) > 0, F.array_join(arr, sep)).otherwise(F.lit(default))
+
+    rights = F.coalesce(
+        F.col("rights"), F.array().cast(parcels.schema["rights"].dataType)
+    )
+    encs = F.coalesce(
+        F.col("encumbrances"), F.array().cast(parcels.schema["encumbrances"].dataType)
+    )
+
+    # --- I: own_name_reg_numb_date --------------------------------------
+    modern_names = entries(
+        F.filter(rights, lambda r: r["rec_first"] & ~r["gkn"]), lambda r: r["reg_name"]
+    )
+    gkn_rows = F.filter(rights, lambda r: r["gkn"])
+
+    def gkn_own_entry(r):
+        label = F.element_at(right_map, r["right_code"])
+        return (
             F.when(
-                r["reg_number"].isNotNull(),
-                F.concat_ws(
-                    "",
-                    rtype(r),
-                    F.lit(" №"),
-                    r["reg_number"],
-                    F.when(r["reg_date"].isNotNull(), F.concat(F.lit(" от "), r["reg_date"])).otherwise(F.lit("")),
-                ),
-            ),
-            rtype(r),
+                r["right_code"].isNotNull()
+                & r["reg_number"].isNotNull()
+                & r["reg_date"].isNotNull(),
+                F.concat(label, F.lit(" №"), r["reg_number"], F.lit(" от "), r["reg_date"]),
+            )
+            .when(
+                r["reg_name"].isNotNull() & r["reg_number"].isNotNull(),
+                # the reference's semicolon quirk (:485-487)
+                F.concat(r["reg_name"], F.lit("; "), r["reg_number"]),
+            )
+            .when(r["reg_name"].isNotNull(), r["reg_name"])
         )
 
+    kvzu_i = (
+        F.when(F.size(modern_names) > 0, F.array_join(modern_names, "; "))
+        .otherwise(joinor(entries(gkn_rows, gkn_own_entry), "; ", ""))
+    )
+
+    def egrn_own_entry(r):
+        return F.concat(
+            F.coalesce(r["right_type"], F.lit("")), F.lit(" №"),
+            F.coalesce(r["reg_number"], F.lit("")), F.lit(" от "),
+            F.coalesce(r["reg_date"], F.lit("")),
+        )
+
+    egrn_i_rows = F.filter(
+        rights,
+        lambda r: r["rec_first"]
+        & (r["right_type"].isNotNull() | r["reg_number"].isNotNull() | r["reg_date"].isNotNull()),
+    )
+    egrn_i = joinor(entries(egrn_i_rows, egrn_own_entry), "; ", "-")
+
+    # --- J: encumbrances_str --------------------------------------------
     def ename(e):
         return F.coalesce(e["enc_name"], F.element_at(enc_map, e["enc_code"]))
 
     def enc_entry(e):
         return F.concat_ws(" ", ename(e), e["holder"])
 
-    def enc_nrd_entry(e):
-        return F.coalesce(
-            # KVZU style: 'doc1, doc2, срок действия: term' (:664-676)
-            F.when(
-                e["docs"].isNotNull() & e["term"].isNotNull(),
-                F.concat(F.array_join(e["docs"], ", "), F.lit(", срок действия: "), e["term"]),
-            ),
-            # EGRN style: 'name №number от date, term' (:1438-1443)
-            F.when(
-                e["reg_number"].isNotNull() & e["reg_date"].isNotNull() & e["term"].isNotNull(),
-                F.concat(
-                    ename(e), F.lit(" №"), e["reg_number"], F.lit(" от "), e["reg_date"],
-                    F.lit(", "), e["term"],
-                ),
-            ),
-            # GKN fallback: 'type №number от date' (:605-610)
-            F.when(
-                e["reg_number"].isNotNull() & e["reg_date"].isNotNull(),
-                F.concat(ename(e), F.lit(" №"), e["reg_number"], F.lit(" от "), e["reg_date"]),
+    j_col = joinor(F.array_distinct(entries(encs, enc_entry)), ", ", "")
+
+    # --- K: enc_name_reg_numb_date_duration ------------------------------
+    def kvzu_dur_entry(e):
+        # term non-null == Duration element present (parse contract);
+        # docs may be absent -> the reference's ''.join (:659-661)
+        return F.when(
+            e["term"].isNotNull() & e["enc_code"].isNull(),
+            F.concat(
+                F.coalesce(F.array_join(e["docs"], ", "), F.lit("")),
+                F.lit(", срок действия: "), e["term"],
             ),
         )
 
-    def joined(arr_col, fn, sep, default):
-        entries = F.filter(F.transform(arr_col, fn), lambda x: x.isNotNull())
+    def gkn_nrd_entry(e):
         return F.when(
-            arr_col.isNotNull() & (F.size(entries) > 0),
-            F.array_join(F.array_distinct(entries), sep),
-        ).otherwise(F.lit(default))
+            e["enc_code"].isNotNull()
+            & e["reg_number"].isNotNull()
+            & e["reg_date"].isNotNull(),
+            F.concat(
+                F.element_at(enc_map, e["enc_code"]),
+                F.lit(" №"), e["reg_number"], F.lit(" от "), e["reg_date"],
+            ),
+        )
+
+    kvzu_k_modern = F.array_distinct(entries(encs, kvzu_dur_entry))
+    kvzu_k = (
+        F.when(F.size(kvzu_k_modern) > 0, F.array_join(kvzu_k_modern, "; "))
+        .otherwise(joinor(F.array_distinct(entries(encs, gkn_nrd_entry)), "; ", ""))
+    )
+
+    def egrn_nrd_entry(e):
+        return F.when(
+            e["enc_name"].isNotNull()
+            & e["reg_number"].isNotNull()
+            & e["reg_date"].isNotNull()
+            & e["term"].isNotNull(),
+            F.concat(
+                e["enc_name"], F.lit(" №"), e["reg_number"], F.lit(" от "),
+                e["reg_date"], F.lit(", "), e["term"],
+            ),
+        )
+
+    egrn_k = joinor(entries(encs, egrn_nrd_entry), ", ", "-")
 
     return (
         parcels.withColumn(
-            "own_name_reg_numb_date", joined(F.col("rights"), own_entry, "; ", "-")
+            "own_name_reg_numb_date", F.when(egrn, egrn_i).otherwise(kvzu_i)
         )
-        .withColumn("encumbrances_str", joined(F.col("encumbrances"), enc_entry, ", ", ""))
+        .withColumn("encumbrances_str", j_col)
         .withColumn(
-            "enc_name_reg_numb_date_duration",
-            joined(F.col("encumbrances"), enc_nrd_entry, "; ", "-"),
+            "enc_name_reg_numb_date_duration", F.when(egrn, egrn_k).otherwise(kvzu_k)
         )
     )

@@ -226,9 +226,13 @@ SELECT doc_id,
          ELSE 'Долевая собственность (' || CAST(doc_id % 9 + 2 AS VARCHAR)
               || ' долей; 3 правообладателей)'
        END AS owner,
-       'Долевая собственность' AS own_name_reg_numb_date,
+       -- KVZU I: modern Registration/Name texts ONLY (the corpus rights
+       -- carry none) -> '' (real_estate.py:453-497; round 4 removed the
+       -- synthesized bare-type entries)
+       '' AS own_name_reg_numb_date,
        '' AS encumbrances_str,
-       '-' AS enc_name_reg_numb_date_duration
+       -- KVZU K: '' when no Duration-bearing encumbrances (:682)
+       '' AS enc_name_reg_numb_date_duration
 FROM documents WHERE doc_id < 300
 """
 

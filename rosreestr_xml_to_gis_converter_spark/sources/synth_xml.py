@@ -123,6 +123,8 @@ def encumbrance_block_kvzu(encs: list[dict]) -> str:
         elif e.get("period"):
             start, stop = e["period"]
             inner += f"<Duration><Started>{start}</Started><Stopped>{stop}</Stopped></Duration>"
+        elif e.get("empty_duration"):
+            inner += "<Duration/>"  # present but empty -> rent_term ''
         if e.get("owner") is not None:
             kind = e.get("kind", "org")
             if kind == "org":

@@ -57,7 +57,7 @@ PARAM_NS = "urn://x-artefacts-rosreestr-ru/commons/complex-types/parameters-oks/
 RIGHT_STRUCT = (
     "struct<right_code:string,right_type:string,owner:string,share_num:string,"
     "share_den:string,share_text:string,reg_name:string,reg_number:string,"
-    "reg_date:string,rec_first:boolean>"
+    "reg_date:string,rec_first:boolean,gkn:boolean>"
 )
 ENC_STRUCT = (
     "struct<enc_code:string,enc_name:string,holder:string,share_text:string,"
@@ -335,6 +335,7 @@ def _kvzu_rights(extract_object_right: ET.Element | None, fallback_container: ET
                         "reg_number": None,
                         "reg_date": None,
                         "rec_first": k == 0,  # shares/types count per RIGHT
+                        "gkn": False,
                     }
                 )
     # legacy GKN fallback (real_estate.py:282-345): the reference reads
@@ -403,10 +404,14 @@ def _kvzu_rights(extract_object_right: ET.Element | None, fallback_container: ET
                         "share_num": share_num,
                         "share_den": share_den,
                         "share_text": share_text,
-                        "reg_name": None,
+                        # GKN rights may carry their own Name element —
+                        # the I-column's 'name; number' branch reads it
+                        # (real_estate.py:485-491)
+                        "reg_name": _txt(right.find(f"{ns}Name")),
                         "reg_number": _txt(right.find(f"{ns}Registration/{ns}RegNumber")),
                         "reg_date": _txt(right.find(f"{ns}Registration/{ns}RegDate")),
                         "rec_first": True,  # one row per GKN right
+                        "gkn": True,
                     }
                 )
     return rows
@@ -438,6 +443,8 @@ def _kvzu_encumbrances(extract_object_right: ET.Element | None, fallback_contain
                         term = term_el.text
                     elif start is not None and stop is not None:
                         term = f"c {start} по {stop}"
+                    else:
+                        term = ""  # Duration present, no usable term
                 holders = []
                 owner_el = enc.find(f"{ns}Owner")
                 if owner_el is not None:
@@ -615,6 +622,7 @@ def _egrn_rights(right_records: ET.Element | None) -> list[dict]:
                     "reg_number": reg_number,
                     "reg_date": reg_date,
                     "rec_first": k == 0,  # r_type_list/share_list per RECORD
+                    "gkn": False,
                 }
             )
     return rows

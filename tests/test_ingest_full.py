@@ -371,3 +371,93 @@ def test_egrn_plain_y_tag(spark):
     assert r["geom"] is not None
     rings = unpack_rings(r["geom"])
     assert {p[0] for p in rings[0]} == {10.0, 14.0}
+
+
+def test_rights_strings_family_aware(spark):
+    """Round 4: the I/K string columns follow the per-family reference
+    builders.  KVZU I = modern Registration/Name texts only (doc order,
+    duplicates kept, NO synthesized entries, real_estate.py:453-470),
+    with the GKN branches only when that list is empty (:471-491, incl.
+    the 'name; number' semicolon quirk); KVZU K emits entries only for
+    Duration-bearing encumbrances (term '' when the element is empty,
+    :649-661) with the GKN 'label №num от date' fallback; EGRN I/K use
+    the always-three-parts / all-four-parts forms with '-' defaults
+    (:1242-1270, :1402-1449)."""
+    from rosreestr_xml_to_gis_converter_spark.operators.attrs import (
+        with_rights_strings,
+    )
+    from rosreestr_xml_to_gis_converter_spark.pipeline import finalize_attributes
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import (
+        egrn_restrict_records,
+        egrn_right_records,
+        kvzu_xml,
+        land_record_xml,
+    )
+    from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import (
+        parse_extracts,
+    )
+
+    # KVZU: two named rights (one name repeated) + a nameless one -> the
+    # repeated name appears TWICE and the nameless right adds nothing
+    named = kvzu_xml(
+        "69:9:1:1",
+        [SQ],
+        rights=[
+            {"code": "001001000000", "owner": "Иванов", "reg_name": "Собственность №1 от 2020"},
+            {"code": "001001000000", "owner": "Петров", "reg_name": "Собственность №1 от 2020"},
+            {"code": "001001000000", "owner": "Сидоров"},
+        ],
+        encumbrances=[
+            {"name": "Аренда", "owner": "ООО Поле", "docs": ["д1", "д2"],
+             "term": "49 лет"},
+            {"name": "Сервитут", "owner": "ООО Газ", "empty_duration": True},
+            {"name": "Запрет", "owner": "УФССП"},  # no Duration -> no K entry
+        ],
+    )
+    # KVZU with NO modern rights but a legacy GKN block -> I falls back
+    # to the GKN branches
+    gkn = (
+        "<Rights>"
+        "<Right><Type>001001000000</Type>"
+        "<Registration><RegNumber>77-01</RegNumber><RegDate>2019-01-02</RegDate>"
+        "</Registration></Right>"
+        "<Right><Name>Аренда земли</Name>"
+        "<Registration><RegNumber>77-02</RegNumber></Registration></Right>"
+        "<Right><Name>Только имя</Name></Right>"
+        "</Rights>"
+    )
+    gkn_doc = kvzu_xml("69:9:1:2", [SQ]).replace("</Parcel>", gkn + "</Parcel>")
+    # EGRN: records with full and partial I parts; restriction with all
+    # K parts
+    eg = land_record_xml(
+        "50:9:1:3",
+        [SQ],
+        right_records=egrn_right_records(
+            [
+                {"type": "Собственность", "number": "50-11", "date": "2021-03-04",
+                 "holders": [("individual", "Иванов Иван")]},
+                {"type": "Аренда", "holders": [("individual", "Петров Пётр")]},
+            ]
+        ),
+        restrict_records=egrn_restrict_records(
+            [
+                {"type": "Аренда", "number": "50-r1", "date": "2021-05-06",
+                 "period": ("2021-05-06", "2070-05-06"),
+                 "holders": [("individual", "Пётр Арендатор")]},
+            ]
+        ),
+    )
+    docs = [("n.xml", named), ("g.xml", gkn_doc), ("e.xml", eg)]
+    p = with_rights_strings(finalize_attributes(parse_extracts(_files(spark, docs))))
+    got = {
+        r.doc_id: (r.own_name_reg_numb_date, r.enc_name_reg_numb_date_duration)
+        for r in p.collect()
+    }
+    assert got["n.xml"][0] == "Собственность №1 от 2020; Собственность №1 от 2020"
+    assert got["n.xml"][1] == "д1, д2, срок действия: 49 лет; , срок действия: "
+    assert got["g.xml"][0] == (
+        "Собственность №77-01 от 2019-01-02; Аренда земли; 77-02; Только имя"
+    )
+    i_e, k_e = got["e.xml"]
+    assert i_e == "Собственность №50-11 от 2021-03-04; Аренда № от "
+    assert "Аренда №50-r1 от 2021-05-06, " in k_e
