@@ -606,7 +606,105 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
     def enc_entry(e):
         return F.concat_ws(" ", ename(e), e["holder"])
 
-    j_col = joinor(F.array_distinct(entries(encs, enc_entry)), ", ", "")
+    # EGRN: 'type holder' entries; the reference joins a Python SET
+    # (:1393-1394) — deduped document order is the deterministic stand-in
+    egrn_j = joinor(F.array_distinct(entries(encs, enc_entry)), ", ", "")
+
+    # KVZU (:498-625): owner-less encumbrances -> a SET ('; '-joined,
+    # sorted stand-in) + the RightClaim append (the `is not set()`
+    # always-true quirk means it fires even onto an empty set, yielding
+    # the leading-', ' form); owner-ful -> a doc-order list whose dedup
+    # key OMITS the '(sharetext)' suffix the appended value carries
+    # (:538-555), with the legacy GKN fallback when that list is empty,
+    # then the word-count normalization pass (:607-617): entries with a
+    # '"' pass through, 4 words get title-cased, >4 get their last three
+    # words title-cased, and SHORTER ENTRIES ARE DROPPED.
+    def sfx(e):
+        return F.when(
+            e["share_text"].isNotNull(), F.concat(F.lit(" ("), e["share_text"], F.lit(")"))
+        ).otherwise(F.lit(""))
+
+    modern_enc = F.filter(encs, lambda e: e["enc_code"].isNull() & e["enc_name"].isNotNull())
+    ownerless = F.filter(modern_enc, lambda e: e["holder"].isNull())
+    set_obrem = F.array_sort(
+        F.array_distinct(F.transform(ownerless, lambda e: F.concat(e["enc_name"], sfx(e))))
+    )
+    rc = (
+        F.col("right_claim")
+        if "right_claim" in parcels.columns
+        else F.lit(None).cast("string")
+    )
+    obrem_str = F.concat(
+        F.array_join(set_obrem, "; "),
+        F.when(
+            rc.isNotNull() & (rc != "данные отсутствуют"), F.concat(F.lit(", "), rc)
+        ).otherwise(F.lit("")),
+    )
+    ownerful = F.filter(modern_enc, lambda e: e["holder"].isNotNull())
+    keyed = F.transform(
+        ownerful,
+        lambda e: F.struct(
+            F.concat(e["enc_name"], F.lit(" "), e["holder"]).alias("k"),
+            F.concat(e["enc_name"], F.lit(" "), e["holder"], sfx(e)).alias("v"),
+        ),
+    )
+    arend_modern = F.transform(
+        F.filter(
+            keyed,
+            lambda x, i: ~F.exists(F.slice(keyed, 1, i), lambda y: y["k"] == x["k"]),
+        ),
+        lambda x: x["v"],
+    )
+    gkn_enc = F.filter(encs, lambda e: e["enc_code"].isNotNull())
+    gkn_keyed = F.transform(
+        gkn_enc,
+        lambda e, i: F.struct(
+            # bare-label entries are appended WITHOUT dedup (:597) — give
+            # each a unique key so they survive the first-occurrence pass
+            F.when(
+                e["holder"].isNotNull(),
+                F.concat(F.element_at(enc_map, e["enc_code"]), F.lit(" "), e["holder"]),
+            ).otherwise(F.concat(F.element_at(enc_map, e["enc_code"]), F.lit("#"), i.cast("string"))).alias("k"),
+            F.when(
+                e["holder"].isNotNull(),
+                F.concat(F.element_at(enc_map, e["enc_code"]), F.lit(" "), e["holder"]),
+            ).otherwise(F.element_at(enc_map, e["enc_code"])).alias("v"),
+        ),
+    )
+    arend_gkn = F.transform(
+        F.filter(
+            gkn_keyed,
+            lambda x, i: ~F.exists(F.slice(gkn_keyed, 1, i), lambda y: y["k"] == x["k"]),
+        ),
+        lambda x: x["v"],
+    )
+    arend = F.when(F.size(arend_modern) > 0, arend_modern).otherwise(arend_gkn)
+
+    def normalize(v):
+        words = F.split(v, " ")
+        n = F.size(words)
+        titled_all = F.array_join(F.transform(words, F.initcap), " ")
+        last3 = F.concat(
+            F.array_join(F.slice(words, 1, n - 3), " "),
+            F.lit(" "),
+            F.array_join(F.transform(F.slice(words, n - 2, 3), F.initcap), " "),
+        )
+        return (
+            F.when(v.contains('"'), v)
+            .when(n == 4, titled_all)
+            .when(n > 4, last3)  # < 4 words and no quote -> dropped (null)
+        )
+
+    new_arend = F.filter(F.transform(arend, normalize), lambda x: x.isNotNull())
+    kvzu_j = (
+        F.when(
+            (F.size(new_arend) > 0) & (obrem_str != ""),
+            F.concat(F.array_join(new_arend, ", "), F.lit("; "), obrem_str),
+        )
+        .when(obrem_str != "", obrem_str)
+        .otherwise(F.array_join(new_arend, ", "))
+    )
+    j_col = F.when(egrn, egrn_j).otherwise(kvzu_j)
 
     # --- K: enc_name_reg_numb_date_duration ------------------------------
     def kvzu_dur_entry(e):

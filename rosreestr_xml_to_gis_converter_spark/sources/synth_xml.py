@@ -160,6 +160,7 @@ def kvzu_xml(
     region: str | None = None,
     district: tuple[str, str] | None = None,
     inner_cad_numbers: list[str] | None = None,
+    right_claim: str | None = None,
 ) -> str:
     """KVZU-style extract (namespaced; dispatch at real_estate.py:53-54).
 
@@ -210,6 +211,10 @@ def kvzu_xml(
     # real extracts always carry ReestrExtract/ExtractObjectRight with a
     # FootContent/ExtractDate (real_estate.py:684-695)
     rights_block = rights_block_kvzu(rights or [])
+    if right_claim is not None:
+        rights_block = rights_block.replace(
+            "</ObjectRight>", f"</ObjectRight><RightClaim>{right_claim}</RightClaim>"
+        )
     if encumbrances:
         enc = encumbrance_block_kvzu(encumbrances)
         rights_block = rights_block.replace("</ObjectRight>", enc + "</ObjectRight>")

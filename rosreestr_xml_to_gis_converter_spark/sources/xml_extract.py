@@ -75,7 +75,7 @@ PARCEL_ROW_SCHEMA = (
     "cadastral_cost string, special_notes string, extract_date string, "
     "date_reg string, entry_parcels array<string>, estate_objects array<string>, "
     f"rights array<{RIGHT_STRUCT}>, encumbrances array<{ENC_STRUCT}>, "
-    f"contours array<{CONTOUR_STRUCT}>, geom binary, error string"
+    f"contours array<{CONTOUR_STRUCT}>, geom binary, right_claim string, error string"
 )
 
 _COLS = [f.split(" ")[0] for f in re.sub(r"<[^<>]*>", "", re.sub(r"<[^<>]*>", "", PARCEL_ROW_SCHEMA)).split(", ")]
@@ -784,6 +784,9 @@ def _parse_kvzu_family(root: ET.Element, ns_uri: str, schema: str) -> list[dict]
     spa = "{%s}" % SPA_NS
     adr = "{%s}" % ADR_NS
     eor = root.find(f"{ns}ReestrExtract/{ns}ExtractObjectRight")
+    right_claim = (
+        _txt(eor.find(f"{ns}ExtractObject/{ns}RightClaim")) if eor is not None else None
+    )
     rows = []
     parcels = root.findall(f"{ns}Parcels/{ns}Parcel") or root.findall(f"{ns}Parcel")
     for parcel in parcels:
@@ -853,6 +856,7 @@ def _parse_kvzu_family(root: ET.Element, ns_uri: str, schema: str) -> list[dict]
                 "encumbrances": _kvzu_encumbrances(eor, parcel, ns) or None,
                 "contours": _contours_dict_to_rows(result) or None,
                 "geom": result.get(cad),
+                "right_claim": right_claim,
                 "error": None,
             }
         )

@@ -461,3 +461,65 @@ def test_rights_strings_family_aware(spark):
     i_e, k_e = got["e.xml"]
     assert i_e == "Собственность №50-11 от 2021-03-04; Аренда № от "
     assert "Аренда №50-r1 от 2021-05-06, " in k_e
+
+
+def test_encumbrances_str_kvzu_faithful(spark):
+    """Round 4: the J column follows real_estate.py:498-625 — owner-ful
+    entries carry the '(sharetext)' suffix but dedup on a key WITHOUT it;
+    owner-less entries join as a set ('; ', sorted stand-in) and the
+    RightClaim text appends; the normalization pass keeps quoted entries
+    verbatim, title-cases the tail of long ones, and DROPS entries
+    shorter than four words; the legacy GKN block is the fallback when no
+    modern owner-ful entries exist."""
+    from rosreestr_xml_to_gis_converter_spark.operators.attrs import (
+        with_rights_strings,
+    )
+    from rosreestr_xml_to_gis_converter_spark.pipeline import finalize_attributes
+    from rosreestr_xml_to_gis_converter_spark.sources.synth_xml import kvzu_xml
+    from rosreestr_xml_to_gis_converter_spark.sources.xml_extract import (
+        parse_extracts,
+    )
+
+    full = kvzu_xml(
+        "69:8:1:1",
+        [SQ],
+        encumbrances=[
+            {"name": "Аренда", "owner": "иванов иван иванович", "kind": "person",
+             "share_text": "1/2"},
+            # same dedup key (suffix excluded) -> dropped
+            {"name": "Аренда", "owner": "иванов иван иванович", "kind": "person"},
+            {"name": "Аренда", "owner": 'ООО "Ромашка"', "kind": "org"},
+            {"name": "Сервитут"},               # owner-less -> set
+            {"name": "Арест", "share_text": "3/4"},  # owner-less + suffix
+            {"name": "Запрет", "owner": "УФССП", "kind": "org"},  # 2 words -> dropped
+        ],
+        right_claim="есть притязания",
+    )
+    gkn_enc = (
+        "<Encumbrances>"
+        "<Encumbrance><Type>022002000000</Type>"
+        "<OwnersRestrictionInFavorem><OwnerRestrictionInFavorem>"
+        "<Organization><Name>Банк Кредит</Name></Organization>"
+        "</OwnerRestrictionInFavorem></OwnersRestrictionInFavorem>"
+        "</Encumbrance>"
+        "<Encumbrance><Type>022002000000</Type>"
+        "<OwnersRestrictionInFavorem><OwnerRestrictionInFavorem>"
+        "<Organization><Name>Банк кредитного взаимодействия</Name></Organization>"
+        "</OwnerRestrictionInFavorem></OwnersRestrictionInFavorem>"
+        "</Encumbrance>"
+        "<Encumbrance><Type>022001000000</Type></Encumbrance>"
+        "</Encumbrances>"
+    )
+    gkn_doc = kvzu_xml("69:8:1:2", [SQ]).replace("</Parcel>", gkn_enc + "</Parcel>")
+    docs = [("f.xml", full), ("g.xml", gkn_doc)]
+    p = with_rights_strings(finalize_attributes(parse_extracts(_files(spark, docs))))
+    got = {r.doc_id: r.encumbrances_str for r in p.collect()}
+    assert got["f.xml"] == (
+        'Аренда иванов иван Иванович  (1/2), Аренда ООО "Ромашка"; '
+        "Арест (3/4); Сервитут, есть притязания"
+    )
+    # GKN fallback: label + org name.  'Арест Банк Кредит' is only 3
+    # words -> the reference's normalization pass DROPS it (:607-617),
+    # as it does the bare-label 'Сервитут'; the 4-word entry survives,
+    # title-cased
+    assert got["g.xml"] == "Арест Банк Кредитного Взаимодействия"

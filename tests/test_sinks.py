@@ -62,7 +62,7 @@ def test_export_outputs_end_to_end(spark, tmp_path):
                 [SQ],
                 rights=[{"code": "001001000000", "owner": "Иванов Иван"}],
                 encumbrances=[
-                    {"name": "Аренда", "owner": "ООО Тест", "docs": ["Дог 5"], "term": "49 лет"}
+                    {"name": "Аренда", "owner": 'ООО "Тест"', "docs": ["Дог 5"], "term": "49 лет"}
                 ],
             ),
         ),
@@ -104,7 +104,10 @@ def test_export_outputs_end_to_end(spark, tmp_path):
     # simple parcel: parent blank when equal (main.py:400-404)
     assert by_key[("69:1:1:1", "")][1][1] == ""
     assert by_key[("69:1:1:1", "")][1][8] == "Собственность Иванов Иван"
-    assert by_key[("69:1:1:1", "")][1][10] == "Аренда ООО Тест"
+    # round 4: the J column applies the reference's normalization pass —
+    # unquoted entries under 4 words are dropped (:607-617), quoted org
+    # names pass through verbatim
+    assert by_key[("69:1:1:1", "")][1][10] == 'Аренда ООО "Тест"'
 
     rows = read_xlsx_rows(os.path.join(out, "real_estate_objects_EGRN.xlsx"))
     assert rows[0][0] == "Кадастровый номер"
