@@ -296,3 +296,45 @@ def test_hamming_near_pairs_recall_and_validation(spark):
         hamming_near_pairs(df, max_hamming=4, n_bands=3)  # < pigeonhole
     with _pytest.raises(ValueError):
         hamming_near_pairs(df, max_hamming=4, n_bands=65)
+
+
+def test_hamming_near_pairs_matches_bruteforce(spark):
+    """Randomized parity: the banded join must return EXACTLY the pairs a
+    brute-force O(n^2) scan finds within the radius (pigeonhole recall is
+    a guarantee, not a probability — so equality, not containment)."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import (
+        hamming_near_pairs,
+    )
+
+    rng = np.random.default_rng(20260817)
+    # cluster structure so close pairs actually exist: a few seeds, many
+    # low-weight perturbations of each
+    seeds = rng.integers(-(2**62), 2**62, 6, dtype=np.int64)
+    rows = []
+    i = 0
+    for s in seeds:
+        for _ in range(8):
+            m = 0
+            for b in rng.choice(64, size=int(rng.integers(0, 7)), replace=False):
+                m |= 1 << int(b)
+            if m >= 1 << 63:
+                m -= 1 << 64
+            rows.append((f"v{i:03d}", int(np.int64(s) ^ np.int64(m))))
+            i += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "h"]))
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_pairs(df, max_hamming=5).collect()
+    }
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if d <= 5:
+            key = (ia, ib) if ia < ib else (ib, ia)
+            want[key] = d
+    assert got == want and len(want) > 20  # non-trivial pair count
