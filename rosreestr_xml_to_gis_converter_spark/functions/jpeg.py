@@ -355,6 +355,103 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_multiscan(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "420",
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB8 (h, w, 3) -> MULTI-SCAN baseline JFIF bytes: one
+    non-interleaved SOS per component (T.81 A.2 sequential multi-scan,
+    the layout some scanners/transcoders emit).  Each scan walks the
+    component's own block grid row-major — no MCU padding blocks — and
+    ``restart_interval`` counts units within the scan (RST index resets
+    per scan).  Exists to exercise :func:`_baseline_scan`; pixel output
+    is bit-identical to :func:`encode_jpeg` at the same settings."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_jpeg_multiscan expects (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    ql, qc = _quality_tables(quality)
+    sub = subsampling == "420"
+    mcu_px = 16 if sub else 8
+    hp = (h + mcu_px - 1) // mcu_px * mcu_px
+    wp = (w + mcu_px - 1) // mcu_px * mcu_px
+    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded)
+
+    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
+    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
+    for ci in (1, 2):
+        plane = ycc[..., ci]
+        if sub:
+            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        comps_zz.append(_plane_to_zz(plane, qcm))
+
+    y_samp = 0x22 if sub else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    for tid, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in q.reshape(64)[ZIGZAG]
+        )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack("BBB", cid, samp, tq)
+    for tc_th, bits, vals in (
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval > 0:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_l = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    tables = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    hmax, vmax = (2, 2) if sub else (1, 1)
+    samps = [(hmax, vmax), (1, 1), (1, 1)]
+    for ci, cid, tdta in ((0, 1, 0x00), (1, 2, 0x11), (2, 3, 0x11)):
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += struct.pack("BB", cid, tdta)
+        out += b"\x00\x3f\x00"
+        hi, vi = samps[ci]
+        # the component's TRUE block grid (encoder padding excluded)
+        nbx = ((w * hi + hmax - 1) // hmax + 7) // 8
+        nby = ((h * vi + vmax - 1) // vmax + 7) // 8
+        writer = _BitWriter()
+        prev = 0
+        rst = 0
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval > 0 and unit > 0 and unit % restart_interval == 0:
+                    writer.flush()
+                    out += writer.out
+                    out += bytes((0xFF, 0xD0 | rst))
+                    rst = (rst + 1) & 7
+                    writer = _BitWriter()
+                    prev = 0
+                unit += 1
+                prev = _encode_component(
+                    comps_zz[ci][by, bx][None, :], tables[ci][0], tables[ci][1],
+                    writer, prev,
+                )
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _RestartMarker(Exception):
     def __init__(self, marker: int) -> None:
         self.marker = marker
@@ -417,7 +514,9 @@ def _find_entropy_end(data: bytes, start: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline or progressive JFIF bytes -> RGB8 array (any integer
-    sampling factors)."""
+    sampling factors; baseline may be single-scan interleaved — the fast
+    path — or multi-scan / non-interleaved per T.81 A.2, routed through
+    the per-scan unit walk shared with the progressive decoder)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -429,6 +528,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     scan_start = None
     progressive = False
+    baseline_scanned = False  # at least one ns<ncomp baseline scan decoded
     frame = None  # geometry + coefficient planes, built at first SOS
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -490,7 +590,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 frame = _build_frame(h, w, comps)
             if not progressive:
-                break  # single baseline scan, fast path below
+                if ns == len(comps):
+                    break  # single whole-image interleaved scan, fast path below
+                # multi-scan / non-interleaved baseline (T.81 A.2): each
+                # scan covers a subset of components; an ns==1 scan walks
+                # the component's OWN block grid (no MCU padding blocks),
+                # same unit-walk contract as the progressive DC path.
+                end = _find_entropy_end(data, scan_start)
+                _baseline_scan(
+                    data[scan_start:end], scan_comps, frame, huff,
+                )
+                pos = end
+                scan_start = None
+                baseline_scanned = True
+                continue
             end = _find_entropy_end(data, scan_start)
             _progressive_scan(
                 data[scan_start:end], scan_comps, ss, se, ah, al,
@@ -505,6 +618,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("no scan found")
         return _finish_frame(frame, qt)
     if scan_start is None or h is None:
+        if baseline_scanned:
+            return _finish_frame(frame, qt)
         raise ValueError("no scan found")
 
     scan = data[scan_start:]
@@ -782,6 +897,80 @@ class _ScanReader:
         self.nbits = n - ln
         self.acc &= (1 << self.nbits) - 1
         return syms[idx]
+
+
+def _baseline_scan(
+    scan: bytes,
+    scan_comps: list[tuple[int, int, int]],
+    frame: dict,
+    huff: dict[int, tuple[list[int], list[int]]],
+) -> None:
+    """One baseline (SOF0) scan -> the frame's coefficient planes: the
+    per-scan unit-walk path for multi-scan / non-interleaved baseline
+    JPEGs.  T.81 A.2: an ns==1 scan walks the component's own block grid
+    row-major (no MCU padding blocks); an ns>1 scan walks the frame MCU
+    grid with hi x vi blocks of each scan component per MCU.  Restart
+    markers reset the DC predictors and retry the current MCU/unit —
+    same contract as the interleaved fast loop in :func:`decode_jpeg`,
+    which remains the hot path for the whole-image single-scan layout.
+    """
+    r = _ScanReader(scan)
+    planes = frame["planes"]
+    comp_index = frame["comp_index"]
+    his, vis = frame["his"], frame["vis"]
+    plan = []
+    for cid, td, ta in scan_comps:
+        ci = comp_index[cid]
+        dlut, alut = huff.get(td), huff.get(0x10 | ta)
+        if dlut is None or alut is None:
+            raise ValueError("missing Huffman table")
+        plan.append((ci, his[ci], vis[ci], dlut, alut))
+    if len(plan) == 1:
+        # non-interleaved: the component's true block grid
+        ci, hi, vi, dlut, alut = plan[0]
+        bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
+        bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
+        nbx, nby = (bw + 7) // 8, (bh + 7) // 8
+        groups = [
+            [(ci, by, bx, dlut, alut)] for by in range(nby) for bx in range(nbx)
+        ]
+    else:
+        groups = []
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                g = []
+                for ci, hi, vi, dlut, alut in plan:
+                    for by in range(vi):
+                        for bx in range(hi):
+                            g.append((ci, my * vi + by, mx * hi + bx, dlut, alut))
+                groups.append(g)
+    prev = [0] * len(planes)
+    gi = 0
+    while gi < len(groups):
+        try:
+            for ci, by, bx, dlut, alut in groups[gi]:
+                blk = [0] * 64
+                size = r.read_sym(dlut)
+                prev[ci] += _extend(r.read_bits(size), size)
+                blk[0] = prev[ci]
+                k = 1
+                while k < 64:
+                    sym = r.read_sym(alut)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    size = sym & 0xF
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    blk[k] = _extend(r.read_bits(size), size)
+                    k += 1
+                planes[ci][by, bx] = blk
+            gi += 1
+        except _RestartMarker:
+            prev = [0] * len(planes)
 
 
 def _progressive_scan(

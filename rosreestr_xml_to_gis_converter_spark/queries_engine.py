@@ -297,7 +297,7 @@ def checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHECKPOINT_LINEAGE_SQL = """
-SELECT o_orderkey % 8 AS bucket, COUNT(*) AS n_rows
+SELECT CAST(o_orderkey % 8 AS BIGINT) AS bucket, COUNT(*) AS n_rows
 FROM orders GROUP BY 1
 """
 

@@ -375,6 +375,7 @@ def _kvzu_rights(extract_object_right: ET.Element | None, fallback_container: ET
                 person = right.find(f"{ns}Owners/{ns}Owner/{ns}Person")
                 org = right.find(f"{ns}Owners/{ns}Owner/{ns}Organization")
                 gov = right.find(f"{ns}Owners/{ns}Owner/{ns}Governance")
+                blank_placeholder = False
                 if person is not None:
                     parts = [
                         _txt(person.find(f"{ns}FamilyName")),
@@ -385,13 +386,23 @@ def _kvzu_rights(extract_object_right: ET.Element | None, fallback_container: ET
                 elif org is not None:
                     # blank Organization/Governance names append ' '
                     # (real_estate.py:336-345)
-                    name = _txt(org.find(f"{ns}Name")) or " "
+                    name = _txt(org.find(f"{ns}Name"))
+                    blank_placeholder = name is None
+                    name = name or " "
                 elif gov is not None:
-                    name = _txt(gov.find(f"{ns}Name")) or " "
+                    name = _txt(gov.find(f"{ns}Name"))
+                    blank_placeholder = name is None
+                    name = name or " "
                 if name is not None:
-                    if name in seen_owners:
+                    # The reference's dedup tests the RAW text against
+                    # list_owner (:330,337 `names_gkn.text not in
+                    # list_owner`) — None never matches, so a blank name
+                    # appends its ' ' placeholder unconditionally, once
+                    # per blank right (two blank GKN org names -> two
+                    # ' ' entries).  Only non-blank names dedup.
+                    if not blank_placeholder and name in seen_owners:
                         # the reference's `not in list_owner` dedup
-                        # (:332,335,342): the duplicate owner is skipped,
+                        # (:327,330,337): the duplicate owner is skipped,
                         # the right/type row still counts
                         name = None
                     else:

@@ -332,3 +332,33 @@ def test_jpeg_restart_markers_roundtrip():
         assert b"\xff\xdd" in b  # DRI present
         assert any(bytes((0xFF, 0xD0 | i)) in b for i in range(8))
         assert (decode_jpeg(b) == plain).all()
+
+
+def test_jpeg_multiscan_baseline_bit_identical():
+    """Round 5 (ADVICE): multi-scan sequential baseline (one
+    non-interleaved SOS per component, T.81 A.2) decodes bit-identically
+    to the interleaved single-scan stream — including subsampled
+    components, whose non-interleaved scans walk the component's OWN
+    block grid rather than the MCU grid, and per-scan restart markers."""
+    import numpy as np
+
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_multiscan,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w, sub, ri in [
+        (37, 29, "444", 0),
+        (37, 29, "420", 0),   # luma grid 5x4 blocks != MCU grid 3x2
+        (41, 53, "420", 5),   # restart markers inside non-interleaved scans
+        (16, 16, "444", 3),
+    ]:
+        img = np.clip(rng.normal(128, 50, (h, w, 3)), 0, 255).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, 85, subsampling=sub))
+        b = encode_jpeg_multiscan(img, 85, subsampling=sub, restart_interval=ri)
+        assert b.count(b"\xff\xda") == 3  # genuinely one scan per component
+        if ri:
+            assert any(bytes((0xFF, 0xD0 | i)) in b for i in range(8))
+        assert (decode_jpeg(b) == plain).all()
