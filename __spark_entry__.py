@@ -6,22 +6,27 @@ SURVEY.md section 2 with DuckDB oracles (rows-only for the ops whose
 hashing/engine internals SQL cannot express — see queries_engine.py).
 
 The driver checks the FIRST 50 queries in dict order, so ordering is
-explicit here.  Standing rotation policy (round-3 VERDICT next-round #1):
-**every oracle-backed query enters the window in its birth round**; the
-entries demoted to make room are redundant re-proofs of oracles a window
-query already proves, or statically-green scalar queries whose evidence
-is carried by green driver rows in rounds 1-3 (noted per entry below).
-Round 4 rotates in the nine round-3 oracle queries that had never been
-driver-checked (ingest_zip_extract, ingest_export_roundtrip,
-ingest_shp_roundtrip, ingest_egrn_owner, ingest_error_quarantine,
-sim_ann_ivf_planted, image_resize_planted, stream_user_totals,
-stream_lww_winner) plus the three new round-4 oracles (knn_uncovered,
-checkpoint_lineage, dedup_phash_planted — the perceptual-hash image
-near-dup operator).  Rows-only organic variants whose recall evidence
-is carried by planted-oracle twins were removed from the registry
-entirely (round-3 VERDICT next-round #8) — the operators remain in the
-package and in bench.py.  Tail queries remain fully runnable — only the
-driver's capped window skips them.
+explicit here.  Standing rotation policy (round-3 VERDICT next-round #1
++ round-4 VERDICT next-round #2):
+**(a) every oracle-backed query enters the window in its birth round;
+(b) CHANGED-MODULE RULE — a tail query whose implementing module was
+modified in the round re-enters the window that round.**  The entries
+demoted to make room are statically-green queries whose implementing
+modules are UNTOUCHED this round and whose evidence is carried by green
+driver rows in 3+ consecutive prior rounds (noted per entry below).
+Round 5 re-windows e2_explode_regex, f2_abbrev_rewrite, f4_case_fold and
+g4_lww_upsert (all downstream of the round-4 attrs.py / xml_extract.py
+rewrites and the round-5 GKN blank-owner fix) and rotates in the new
+knn_escalated gate (birth round; the bounded-iterative-disk-escalation
+path with the whole-layer fallback gated off).  Demoted in exchange:
+j1_classifier_join, g1_segmentation, g2_shoelace, g3_orientation,
+cell_encode — classifiers.py / functions/geometry.py / index/grid.py are
+untouched in rounds 4-5 and each has green driver rows in r1-r4.
+Rows-only organic variants whose recall evidence is carried by
+planted-oracle twins were removed from the registry entirely (round-3
+VERDICT next-round #8) — the operators remain in the package and in
+bench.py.  Tail queries remain fully runnable — only the driver's capped
+window skips them.
 """
 
 from __future__ import annotations
@@ -80,18 +85,20 @@ _TAIL = [
     "setops",                          # green r02+r03; generic SQL breadth
     "cube_agg",                        # green r02+r03; rollup_agg covers the family
     "s1_scan",                         # green r01+r02+r03
-    "e2_explode_regex",                # green r01+r02+r03; family also
-                                       # proven by ingest_multi_contour
     "p2_filter_anti",                  # green r01+r02+r03
     "e1_explode_entry",                # green r01+r02+r03
     "a2_set_dedup",                    # green r01+r02+r03
     "a3_conditional_default",          # green r01+r02+r03
     "f1_regex_cleanup",                # green r01+r02+r03
-    "f2_abbrev_rewrite",               # green r01+r02+r03
     "f3_date_invert",                  # green r01+r02+r03
-    "f4_case_fold",                    # green r01+r02+r03
     "f5_collision_suffix",             # green r01+r02+r03
-    "g4_lww_upsert",                   # green r01+r02+r03
+    # demoted in round 5 under the changed-module rule's converse:
+    # modules untouched in r4-r5, green driver rows r01-r04
+    "j1_classifier_join",              # classifiers.py untouched; green r01-r04
+    "g1_segmentation",                 # functions/geometry.py untouched; green r01-r04
+    "g2_shoelace",                     # functions/geometry.py untouched; green r01-r04
+    "g3_orientation",                  # functions/geometry.py untouched; green r01-r04
+    "cell_encode",                     # index/grid.py untouched; green r01-r04
 ]
 
 

@@ -253,6 +253,79 @@ SELECT image_id, cad_number, rank, dist FROM (
 """
 
 
+# a res-9 cell-center LATTICE with 3-cell spacing, extended 3+ cells past
+# the box on every side, for the escalation-ladder gate: every image cell
+# sees exactly ONE lattice point within Chebyshev 1 (spacing 3 > the 3-cell
+# window) so NO image is covered at the base disk, while every 9x9 window
+# (disk 4 = 4x escalation of disk 1) holds >= 9 points — the ladder covers
+# every image with >= k candidates, its conservative exact disk makes the
+# result TRUE kNN, and the plain cross-join oracle states exactly that.
+def _knn_lattice() -> list[tuple[str, float, float]]:
+    wx, wy = 360.0 / (1 << 9), 180.0 / (1 << 9)
+    ix0 = int((TESTDATA_BOX.lon0 + 180.0) / wx) - 3
+    ix1 = int((TESTDATA_BOX.lon0 + TESTDATA_BOX.dlon + 180.0) / wx) + 4
+    iy0 = int((TESTDATA_BOX.lat0 + 90.0) / wy) - 3
+    iy1 = int((TESTDATA_BOX.lat0 + TESTDATA_BOX.dlat + 90.0) / wy) + 4
+    out = []
+    for ix in range(ix0, ix1 + 1, 3):
+        for iy in range(iy0, iy1 + 1, 3):
+            out.append(
+                (
+                    f"77:{ix:05d}:{iy:05d}:1",
+                    -180.0 + (ix + 0.5) * wx,
+                    -90.0 + (iy + 0.5) * wy,
+                )
+            )
+    return out
+
+
+KNN_LATTICE = _knn_lattice()
+
+
+def knn_escalated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Escalation-ladder gate (round-4 VERDICT next-round #3): the
+    whole-layer fallback is gated OFF (``layer_fallback=False``), so the
+    ONLY route to completeness is bounded iterative disk escalation
+    (auto ladder 2x/4x).  The lattice fixture guarantees every image is
+    short at the base disk (one candidate in any 3x3 window) and served
+    by the ladder (>= 9 candidates in any 9x9 window); the conservative
+    exact-disk ranking makes every emitted row TRUE kNN — exactly the
+    cross-join oracle.  Row count == distinct images x k: nothing is
+    dropped even with the layer fallback disabled."""
+    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    cen = spark.createDataFrame(
+        pd.DataFrame(KNN_LATTICE, columns=["cad_number", "clon", "clat"])
+    )
+    out = knn_grid(
+        img, cen, TESTDATA_BOX, k=KNN_K, res=9, disk=1, layer_fallback=False
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _knn_lattice_values_sql() -> str:
+    rows = ", ".join(
+        f"('{cad}', {clon!r}, {clat!r})" for cad, clon, clat in KNN_LATTICE
+    )
+    return f"(VALUES {rows}) AS cen(cad_number, clon, clat)"
+
+
+KNN_ESCALATED_SQL = f"""
+WITH {_IMAGES_CTE}
+, dpts AS (SELECT DISTINCT image_id, lon, lat FROM pts)
+SELECT image_id, cad_number, rank, dist FROM (
+  SELECT p.image_id, cen.cad_number,
+         row_number() OVER (
+           PARTITION BY p.image_id
+           ORDER BY sqrt((p.lon - cen.clon) * (p.lon - cen.clon)
+                       + (p.lat - cen.clat) * (p.lat - cen.clat)) ASC,
+                    cen.cad_number ASC) AS rank,
+         sqrt((p.lon - cen.clon) * (p.lon - cen.clon)
+            + (p.lat - cen.clat) * (p.lat - cen.clat)) AS dist
+  FROM dpts p CROSS JOIN {_knn_lattice_values_sql()}
+) WHERE rank <= {KNN_K}
+"""
+
+
 # --- checkpoint / resume lineage (M-family; checkpoint.py) -------------------
 
 def checkpoint_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,6 +1267,7 @@ ENGINE_QUERIES = {
     "knn_parcels_brute": knn_parcels_brute,
     "knn_parcels_literal": knn_parcels_literal,
     "knn_uncovered": knn_uncovered,
+    "knn_escalated": knn_escalated,
     "checkpoint_lineage": checkpoint_lineage,
     "a1_owner_matrix": a1_owner_matrix,
     "stream_window_counts": stream_window_counts,
@@ -1235,6 +1309,7 @@ ENGINE_ORACLES = {
     "knn_parcels_brute": KNN_SQL,
     "knn_parcels_literal": KNN_LITERAL_SQL,
     "knn_uncovered": KNN_UNCOVERED_SQL,
+    "knn_escalated": KNN_ESCALATED_SQL,
     "checkpoint_lineage": CHECKPOINT_LINEAGE_SQL,
     "a1_owner_matrix": A1_OWNER_MATRIX_SQL,
     "stream_window_counts": STREAM_WINDOW_SQL,
