@@ -550,12 +550,26 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
     def joinor(arr, sep, default):
         return F.when(F.size(arr) > 0, F.array_join(arr, sep)).otherwise(F.lit(default))
 
-    rights = F.coalesce(
-        F.col("rights"), F.array().cast(parcels.schema["rights"].dataType)
+    # Round-5 (VERDICT #7): multi-referenced heavy subtrees are staged as
+    # named intermediate columns instead of being inlined at every use —
+    # CollapseProject keeps non-cheap aliases with >1 reference as
+    # separate projections, so each stage is analyzed, codegen'd and
+    # EVALUATED once per row (the inlined round-4 tree recomputed e.g.
+    # the full obrem/new_arend subtrees up to 3x).  Single-use subtrees
+    # stay inline.  The temps are dropped before returning.
+    stage1 = parcels.withColumns(
+        {
+            "_w_rights": F.coalesce(
+                F.col("rights"), F.array().cast(parcels.schema["rights"].dataType)
+            ),
+            "_w_encs": F.coalesce(
+                F.col("encumbrances"),
+                F.array().cast(parcels.schema["encumbrances"].dataType),
+            ),
+        }
     )
-    encs = F.coalesce(
-        F.col("encumbrances"), F.array().cast(parcels.schema["encumbrances"].dataType)
-    )
+    rights = F.col("_w_rights")
+    encs = F.col("_w_encs")
 
     # --- I: own_name_reg_numb_date --------------------------------------
     modern_names = entries(
@@ -579,6 +593,9 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
             )
             .when(r["reg_name"].isNotNull(), r["reg_name"])
         )
+
+    stage2 = stage1.withColumn("_w_modern_names", modern_names)
+    modern_names = F.col("_w_modern_names")
 
     kvzu_i = (
         F.when(F.size(modern_names) > 0, F.array_join(modern_names, "; "))
@@ -625,6 +642,9 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
         ).otherwise(F.lit(""))
 
     modern_enc = F.filter(encs, lambda e: e["enc_code"].isNull() & e["enc_name"].isNotNull())
+    stage3 = stage2.withColumn("_w_modern_enc", modern_enc)
+    modern_enc = F.col("_w_modern_enc")
+
     ownerless = F.filter(modern_enc, lambda e: e["holder"].isNull())
     set_obrem = F.array_sort(
         F.array_distinct(F.transform(ownerless, lambda e: F.concat(e["enc_name"], sfx(e))))
@@ -648,13 +668,6 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
             F.concat(e["enc_name"], F.lit(" "), e["holder"], sfx(e)).alias("v"),
         ),
     )
-    arend_modern = F.transform(
-        F.filter(
-            keyed,
-            lambda x, i: ~F.exists(F.slice(keyed, 1, i), lambda y: y["k"] == x["k"]),
-        ),
-        lambda x: x["v"],
-    )
     gkn_enc = F.filter(encs, lambda e: e["enc_code"].isNotNull())
     gkn_keyed = F.transform(
         gkn_enc,
@@ -671,6 +684,23 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
             ).otherwise(F.element_at(enc_map, e["enc_code"])).alias("v"),
         ),
     )
+    stage4 = stage3.withColumns(
+        {"_w_keyed": keyed, "_w_gkn_keyed": gkn_keyed, "_w_obrem_str": obrem_str}
+    )
+    keyed = F.col("_w_keyed")
+    gkn_keyed = F.col("_w_gkn_keyed")
+    obrem_str = F.col("_w_obrem_str")
+
+    arend_modern = F.transform(
+        F.filter(
+            keyed,
+            lambda x, i: ~F.exists(F.slice(keyed, 1, i), lambda y: y["k"] == x["k"]),
+        ),
+        lambda x: x["v"],
+    )
+    stage5 = stage4.withColumn("_w_arend_modern", arend_modern)
+    arend_modern = F.col("_w_arend_modern")
+
     arend_gkn = F.transform(
         F.filter(
             gkn_keyed,
@@ -695,7 +725,11 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
             .when(n > 4, last3)  # < 4 words and no quote -> dropped (null)
         )
 
-    new_arend = F.filter(F.transform(arend, normalize), lambda x: x.isNotNull())
+    stage6 = stage5.withColumn(
+        "_w_new_arend", F.filter(F.transform(arend, normalize), lambda x: x.isNotNull())
+    )
+    new_arend = F.col("_w_new_arend")
+
     kvzu_j = (
         F.when(
             (F.size(new_arend) > 0) & (obrem_str != ""),
@@ -729,7 +763,11 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
             ),
         )
 
-    kvzu_k_modern = F.array_distinct(entries(encs, kvzu_dur_entry))
+    stage7 = stage6.withColumn(
+        "_w_kvzu_k_modern", F.array_distinct(entries(encs, kvzu_dur_entry))
+    )
+    kvzu_k_modern = F.col("_w_kvzu_k_modern")
+
     kvzu_k = (
         F.when(F.size(kvzu_k_modern) > 0, F.array_join(kvzu_k_modern, "; "))
         .otherwise(joinor(F.array_distinct(entries(encs, gkn_nrd_entry)), "; ", ""))
@@ -749,12 +787,11 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
 
     egrn_k = joinor(entries(encs, egrn_nrd_entry), ", ", "-")
 
-    return (
-        parcels.withColumn(
-            "own_name_reg_numb_date", F.when(egrn, egrn_i).otherwise(kvzu_i)
-        )
-        .withColumn("encumbrances_str", j_col)
-        .withColumn(
-            "enc_name_reg_numb_date_duration", F.when(egrn, egrn_k).otherwise(kvzu_k)
-        )
+    out = stage7.withColumns(
+        {
+            "own_name_reg_numb_date": F.when(egrn, egrn_i).otherwise(kvzu_i),
+            "encumbrances_str": j_col,
+            "enc_name_reg_numb_date_duration": F.when(egrn, egrn_k).otherwise(kvzu_k),
+        }
     )
+    return out.drop(*[c for c in out.columns if c.startswith("_w_")])
