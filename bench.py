@@ -184,6 +184,24 @@ def main() -> None:
     )
     image_decode_mb_s = round(input_mb / results["image_features_400"], 2)
 
+    # system-codec comparison line (round-4 VERDICT next-round #4): when
+    # Pillow/libjpeg is importable, time the SAME payloads through the
+    # 'system' backend of the decode_image seam — the substitution claim
+    # as a measured number.  Absent in this sandbox -> line omitted.
+    image_decode_mb_s_system = None
+    from rosreestr_xml_to_gis_converter_spark.functions.codec_backend import (
+        BACKENDS,
+        HAVE_SYSTEM_CODEC,
+    )
+
+    if HAVE_SYSTEM_CODEC:
+        payloads = [(r["bytes"], r["fmt"]) for r in imgs.select("bytes", "fmt").collect()]
+        sys_decode = BACKENDS["system"][0]
+        t0 = time.time()
+        for data, fmt in payloads:
+            sys_decode(bytes(data), fmt)
+        image_decode_mb_s_system = round(input_mb / (time.time() - t0), 2)
+
     # --- skew stress: hot boundary cell, salted vs unsalted ---------------
     # Half the image table is packed into ONE res-12 BOUNDARY cell of the
     # big parcel (PIP refine needed -> per-row cost is Python compute, so
@@ -253,6 +271,11 @@ def main() -> None:
                 "spatial_join_matched_pairs": join_pairs,
                 "spatial_join_pairs_per_sec": throughput,
                 "image_decode_mb_s": image_decode_mb_s,
+                **(
+                    {"image_decode_mb_s_system": image_decode_mb_s_system}
+                    if image_decode_mb_s_system is not None
+                    else {}
+                ),
                 "row_counts": counts,
             }
         )

@@ -136,21 +136,17 @@ def decode_fake_jpeg(data: bytes) -> np.ndarray:
     return ((q.astype(np.uint16) << _QUANT_BITS) | (1 << (_QUANT_BITS - 1))).astype(np.uint8)
 
 
-def decode_image(data: bytes, fmt: str) -> np.ndarray:
+def _decode_image_pure(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return decode_png(data)
     if fmt == "jpeg":
-        # round 2: real baseline JPEG codec (functions/jpeg.py); FJPG
-        # accepted on decode for payloads produced by the round-1 stub
-        if data[:4] == _FJPG_SIG:
-            return decode_fake_jpeg(data)
         from rosreestr_xml_to_gis_converter_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(data)
     raise NotImplementedError(f"unsupported image format: {fmt!r}")
 
 
-def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+def _encode_image_pure(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(arr)
     if fmt == "jpeg":
@@ -158,6 +154,31 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
 
         return encode_jpeg(arr)
     raise NotImplementedError(f"unsupported image format: {fmt!r}")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """The ONE imaging seam: every operator decodes through this exact
+    signature, so swapping the codec (pure python <-> Pillow/libjpeg) is
+    a backend selection with no plan/schema/oracle change — see
+    :mod:`functions.codec_backend` (round-4 VERDICT next-round #4)."""
+    if fmt == "jpeg" and data[:4] == _FJPG_SIG:
+        # repo-internal round-1 stub container: always the stub decoder
+        return decode_fake_jpeg(data)
+    from rosreestr_xml_to_gis_converter_spark.functions import codec_backend
+
+    name = codec_backend.active_backend()
+    if name != "pure":
+        return codec_backend.BACKENDS[name][0](data, fmt)
+    return _decode_image_pure(data, fmt)
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    from rosreestr_xml_to_gis_converter_spark.functions import codec_backend
+
+    name = codec_backend.active_backend()
+    if name != "pure":
+        return codec_backend.BACKENDS[name][1](arr, fmt)
+    return _encode_image_pure(arr, fmt)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
