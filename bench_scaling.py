@@ -68,6 +68,30 @@ if job_name == "join":
 
     def job():
         return spatial_join(img, pc, TESTDATA_BOX).count()
+elif job_name == "dedup":
+    # LLM-pipeline flagship (round-4 VERDICT next-round #5): pHash banded
+    # hamming near-dup over the same images table + planted twins every
+    # 64th row (phash ^ 3, two low bits -> inside the verify radius), so
+    # the measured pairs are deterministic and nonzero.  Unlike join/knn
+    # this is a SHUFFLE-heavy job: explode band keys, equi-self-join on
+    # (band, key), bit_count verify — the banded-LSH scaling shape.
+    # The synthetic phash is near-uniform, so the operator's default
+    # single-chunk layout (5 bands of ~13-bit keys) is quadratic at
+    # multi-million rows; (n_bands=6, chunks_per_band=2) is the
+    # documented scale config — C(6,2)=15 bands of 21-22-bit keys,
+    # recall still pigeonhole-guaranteed at r=4 (6-4 >= 2).
+    from pyspark.sql import functions as F
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import phash_near_pairs
+    base_id = F.substring("image_id", 5, 20).cast("long")
+    twins = (img.filter(base_id % 64 == 0)
+                .withColumn("image_id", F.concat("image_id", F.lit("~")))
+                .withColumn("phash", F.col("phash").bitwiseXOR(F.lit(3))))
+    corpus = img.unionByName(twins)
+
+    def job():
+        return phash_near_pairs(
+            corpus, max_hamming=4, n_bands=6, chunks_per_band=2
+        ).count()
 else:  # knn: grid-disk candidate expansion + map-side top-k (operators/knn.py)
     from rosreestr_xml_to_gis_converter_spark.operators.knn import knn_grid
     centroids = spark.createDataFrame(
@@ -110,7 +134,7 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--res", type=int, default=14)
     ap.add_argument("--levels", default="2,8", help="N,4N core counts")
-    ap.add_argument("--job", default="join", choices=["join", "knn"])
+    ap.add_argument("--job", default="join", choices=["join", "knn", "dedup"])
     ap.add_argument("--update-baseline", action="store_true")
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))

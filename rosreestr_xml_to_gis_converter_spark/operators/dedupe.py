@@ -220,6 +220,7 @@ def hamming_near_pairs(
     hash_col: str = "h",
     n_bits: int = 64,
     n_bands: int | None = None,
+    chunks_per_band: int = 1,
 ) -> DataFrame:
     """Near-dup pairs over an EXISTING n-bit fingerprint column by banded
     hamming search: split the fingerprint into ``n_bands`` chunks
@@ -228,18 +229,62 @@ def hamming_near_pairs(
     chunk), equi-self-join on (band, chunk), verify the exact distance
     with ``bit_count(xor)``.  The join is a bucket join on chunk values,
     never all-pairs — the same 10^12-row shape as the MinHash/SimHash
-    paths.  Remainder bits are distributed so no bit is dropped."""
+    paths.  Remainder bits are distributed so no bit is dropped.
+
+    ``chunks_per_band`` (round 5) is the SCALE knob the single-chunk
+    layout lacks: with n_bands = max_hamming + 1 the band keys are only
+    ~n_bits/(r+1) bits wide (13 for a 64-bit pHash at r=4), so on a
+    near-uniform corpus the bucket join goes quadratic past ~10^6 rows
+    (measured: 2e9 candidate pairs at 2M rows).  Combinatorial banding
+    splits the hash into ``n_bands`` chunks and keys each band on a
+    COMBINATION of ``chunks_per_band`` = m of them: within radius r at
+    most r chunks differ, so a pair shares a fully-clean m-combination
+    whenever n_bands - r >= m (validated below) — recall stays
+    guaranteed while keys grow to m*(n_bits/n_bands) bits.  E.g.
+    (n_bands=8, m=4) gives C(8,4)=70 bands of 32-bit keys: candidate
+    volume drops by ~2^19 per band pair while the explode factor rises
+    14x — the right trade at 10^8+ rows.
+    """
+    from itertools import combinations
+
     n_bands = max_hamming + 1 if n_bands is None else n_bands
     if not 1 <= n_bands <= n_bits:
         raise ValueError(f"n_bands must be in [1, {n_bits}], got {n_bands}")
-    if n_bands <= max_hamming:
+    if not 1 <= chunks_per_band <= n_bands:
         raise ValueError(
-            f"n_bands={n_bands} cannot guarantee recall at hamming {max_hamming} "
-            f"(pigeonhole needs > max_hamming bands)"
+            f"chunks_per_band must be in [1, {n_bands}], got {chunks_per_band}"
+        )
+    if n_bands - max_hamming < chunks_per_band:
+        raise ValueError(
+            f"n_bands={n_bands}, chunks_per_band={chunks_per_band} cannot "
+            f"guarantee recall at hamming {max_hamming} (pigeonhole needs "
+            f"n_bands - max_hamming >= chunks_per_band)"
         )
     width = n_bits // n_bands
     widths = [width + (1 if i < n_bits % n_bands else 0) for i in range(n_bands)]
     offsets = [sum(widths[:i]) for i in range(n_bands)]
+    if sum(widths[:chunks_per_band]) > 63:
+        raise ValueError("combined band key exceeds 63 bits; lower chunks_per_band")
+
+    def chunk_expr(i):
+        return F.shiftright("hh", offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+
+    def band_key(combi):
+        # pack the selected chunks into one long, widest-first shifts
+        key = chunk_expr(combi[0])
+        for i in combi[1:]:
+            key = F.shiftleft(key, widths[i]) + chunk_expr(i)
+        return key
+
+    combis = list(combinations(range(n_bands), chunks_per_band))
+    if len(combis) > 512:
+        # C(n_bands, m) structs per row: beyond a few hundred the explode
+        # factor (and the codegen'd expression tree) dominates any bucket
+        # savings — useful configs sit at C <= ~100 (e.g. C(8,4)=70)
+        raise ValueError(
+            f"C({n_bands},{chunks_per_band}) = {len(combis)} band combinations; "
+            "pick a config with <= 512 (explode factor = combination count)"
+        )
     s = df.select(F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("hh"))
     chunks = s.select(
         "id",
@@ -247,13 +292,8 @@ def hamming_near_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("hh", offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("key"),
-                    )
-                    for i in range(n_bands)
+                    F.struct(F.lit(b).alias("band"), band_key(c).alias("key"))
+                    for b, c in enumerate(combis)
                 ]
             )
         ).alias("bk"),
@@ -278,12 +318,19 @@ def hamming_near_pairs(
 
 
 def phash_near_pairs(
-    images: DataFrame, max_hamming: int = 4, id_col: str = "image_id"
+    images: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "image_id",
+    n_bands: int | None = None,
+    chunks_per_band: int = 1,
 ) -> DataFrame:
     """Image near-duplicates by perceptual hash: the input table already
     carries a 64-bit ``phash`` (BASELINE input_hint), so near-dup
     detection is a pure fingerprint-banding join — no decode, no Python.
-    Radius 4 is the usual pHash near-dup threshold."""
+    Radius 4 is the usual pHash near-dup threshold.  For 10^7+-row
+    corpora pass e.g. ``n_bands=8, chunks_per_band=4`` (combinatorial
+    banding, 32-bit keys) — see :func:`hamming_near_pairs`."""
     return hamming_near_pairs(
-        images, max_hamming, id_col=id_col, hash_col="phash"
+        images, max_hamming, id_col=id_col, hash_col="phash",
+        n_bands=n_bands, chunks_per_band=chunks_per_band,
     )

@@ -338,3 +338,54 @@ def test_hamming_near_pairs_matches_bruteforce(spark):
             key = (ia, ib) if ia < ib else (ib, ia)
             want[key] = d
     assert got == want and len(want) > 20  # non-trivial pair count
+
+
+def test_hamming_combinatorial_banding_matches_bruteforce(spark):
+    """Round 5: combinatorial banding (chunks_per_band > 1) — the scale
+    configuration for 10^7+-row corpora — must return EXACTLY the brute
+    force pairs whenever n_bands - max_hamming >= chunks_per_band, and
+    reject configurations that void the pigeonhole guarantee."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import (
+        hamming_near_pairs,
+    )
+
+    rng = np.random.default_rng(55)
+    seeds = rng.integers(-(2**62), 2**62, 5, dtype=np.int64)
+    rows = []
+    i = 0
+    for s in seeds:
+        for _ in range(8):
+            m = 0
+            for b in rng.choice(64, size=int(rng.integers(0, 7)), replace=False):
+                m |= 1 << int(b)
+            if m >= 1 << 63:
+                m -= 1 << 64
+            rows.append((f"v{i:03d}", int(np.int64(s) ^ np.int64(m))))
+            i += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "h"]))
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+        d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if d <= 4:
+            key = (ia, ib) if ia < ib else (ib, ia)
+            want[key] = d
+    for n_bands, m in [(8, 4), (8, 2), (6, 2), (7, 3)]:
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in hamming_near_pairs(
+                df, max_hamming=4, n_bands=n_bands, chunks_per_band=m
+            ).collect()
+        }
+        assert got == want, (n_bands, m)
+    assert len(want) > 15
+    # n_bands - max_hamming < chunks_per_band -> no clean combination
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_pairs(df, max_hamming=4, n_bands=6, chunks_per_band=3)
+    with _pytest.raises(ValueError, match="chunks_per_band"):
+        hamming_near_pairs(df, max_hamming=4, n_bands=8, chunks_per_band=9)
