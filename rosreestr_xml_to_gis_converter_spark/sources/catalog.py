@@ -85,6 +85,22 @@ class Catalog:
         is written once and joined daily.  Plan-shape test:
         tests/test_plans.py asserts zero Exchange operators.
         """
+        if self.use_iceberg:  # pragma: no cover - jar absent offline
+            # Iceberg's bucket partition transform is the same layout
+            # contract (hash(key) % n co-location); exercised by the
+            # guarded tests/test_iceberg_optional.py when the runtime
+            # jar is on the classpath.
+            from pyspark.sql.functions import bucket, col
+
+            writer = df.writeTo(f"local.{table}").partitionedBy(
+                bucket(n_buckets, col(bucket_cols[0])),
+                *[col(c) for c in bucket_cols[1:]],
+            )
+            if mode == "append":
+                writer.append()
+            else:
+                writer.createOrReplace()
+            return
         w = (
             df.write.mode(mode)
             .format("parquet")
@@ -97,4 +113,6 @@ class Catalog:
 
     def read_table(self, table: str) -> DataFrame:
         """Read a metastore-registered (bucketed) table by name."""
+        if self.use_iceberg:  # pragma: no cover - jar absent offline
+            return self.spark.read.table(f"local.{table}")
         return self.spark.read.table(table)
