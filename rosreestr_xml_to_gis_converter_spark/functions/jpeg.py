@@ -23,8 +23,11 @@ refinement scans — proven by ``encode_jpeg_progressive`` roundtrips
 that reconstruct coefficients BIT-IDENTICAL to the baseline decode of
 the same image.  The encoders emit 4:4:4 (byte-identical to earlier
 rounds) or 4:2:0 (``subsampling='420'``, 2x2 box-decimated chroma),
-sequential or progressive.  Arithmetic-coded and hierarchical modes
-(SOF9+, rare in the wild) raise ``ValueError``.
+sequential or progressive.  SOF1 (extended sequential, identical decode
+at 8-bit) is accepted; SOF9 (sequential ARITHMETIC coding) decodes via
+the QM-coder in ``jpeg_arith.py`` (round 5), including DAC conditioning
+and positional restarts.  Hierarchical and progressive-arithmetic modes
+(SOF3/5/6/7/10/11, vanishingly rare) raise ``ValueError``.
 """
 
 from __future__ import annotations
@@ -528,6 +531,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     scan_start = None
     progressive = False
+    arith = False  # SOF9: sequential arithmetic (QM) entropy coding
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC conditioning per table
+    ac_cond: dict[int, int] = {}
     baseline_scanned = False  # at least one ns<ncomp baseline scan decoded
     frame = None  # geometry + coefficient planes, built at first SOS
     while pos < len(data):
@@ -556,16 +562,28 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
                 qt[tq] = tbl[UNZIGZAG].reshape(8, 8)
                 p += 65
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0 baseline / SOF1 extended sequential (identical decode
+            # at 8-bit) / SOF2 progressive / SOF9 sequential arithmetic
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             p = 6
             for _ in range(nc):
                 cid, samp, tq = seg[p], seg[p + 1], seg[p + 2]
                 comps.append((cid, samp, tq))
                 p += 3
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"non-baseline JPEG (SOF{marker & 0xF}) unsupported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+            raise ValueError(f"unsupported JPEG mode (SOF{marker & 0xF})")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb, cs = seg[p] >> 4, seg[p] & 0xF, seg[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                p += 2
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -589,6 +607,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan_start = pos + seglen
             if frame is None:
                 frame = _build_frame(h, w, comps)
+            if arith:
+                from .jpeg_arith import decode_arith_scan
+
+                end = _find_entropy_end(data, scan_start)
+                decode_arith_scan(
+                    data[scan_start:end], scan_comps, frame,
+                    restart_interval, dc_cond, ac_cond,
+                )
+                pos = end
+                scan_start = None
+                baseline_scanned = True  # reuse the coefficient-finish path
+                continue
             if not progressive:
                 if ns == len(comps):
                     break  # single whole-image interleaved scan, fast path below
