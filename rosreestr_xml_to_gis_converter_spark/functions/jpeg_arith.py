@@ -633,3 +633,88 @@ def encode_jpeg_arith(
     out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def encode_jpeg_arith_multiscan(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB8 -> SOF9 bytes with one NON-INTERLEAVED scan per component
+    (T.81 A.2): the arithmetic twin of ``jpeg.encode_jpeg_multiscan``,
+    exercising ``decode_arith_scan``'s ns==1 unit walk (the component's
+    own block grid, no MCU padding blocks; restarts count units within
+    the scan, statistics reset per scan).  Coefficients match
+    ``jpeg.encode_jpeg`` at the same settings, so decodes are
+    pixel-identical."""
+    from .jpeg import ZIGZAG, _plane_to_zz, _quality_tables, _rgb_to_ycbcr
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_jpeg_arith_multiscan expects (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    ql, qc = _quality_tables(quality)
+    sub = subsampling == "420"
+    mcu_px = 16 if sub else 8
+    hp = (h + mcu_px - 1) // mcu_px * mcu_px
+    wp = (w + mcu_px - 1) // mcu_px * mcu_px
+    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded)
+    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
+    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
+    for ci in (1, 2):
+        plane = ycc[..., ci]
+        if sub:
+            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        comps_zz.append(_plane_to_zz(plane, qcm))
+
+    y_samp = 0x22 if sub else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    for tid, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in q.reshape(64)[ZIGZAG]
+        )
+    out += b"\xff\xc9" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack("BBB", cid, samp, tq)
+    if restart_interval > 0:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    hmax, vmax = (2, 2) if sub else (1, 1)
+    samps = [(hmax, vmax), (1, 1), (1, 1)]
+    for comp_i, (cid, tbl) in enumerate(((1, 0), (2, 1), (3, 1))):
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += struct.pack("BB", cid, (tbl << 4) | tbl)
+        out += b"\x00\x3f\x00"
+        zz = comps_zz[comp_i]
+        hi, vi = samps[comp_i]
+        # the component's TRUE block grid (encoder padding excluded)
+        nbx = ((w * hi + hmax - 1) // hmax + 7) // 8
+        nby = ((h * vi + vmax - 1) // vmax + 7) // 8
+        stats = _ScanStats(1, [tbl], [tbl])
+        enc = _ArithEncoder()
+        rst = 0
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval > 0 and unit > 0 and unit % restart_interval == 0:
+                    out += enc.flush()
+                    out += bytes((0xFF, 0xD0 | rst))
+                    rst = (rst + 1) & 7
+                    enc = _ArithEncoder()
+                    stats.reset()
+                unit += 1
+                blk = zz[by, bx]
+                diff = int(blk[0]) - stats.last_dc[0]
+                _encode_dc(enc, stats.dc[tbl], stats, 0, diff, 0, 1)
+                stats.last_dc[0] = int(blk[0])
+                _encode_ac_block(enc, stats.ac[tbl], stats, blk, 5)
+        out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -312,8 +312,14 @@ def hamming_near_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.hh").bitwiseXOR(F.col("b.hh"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # verify BEFORE the dedup shuffle: hamming is a function of the
+        # pair alone (not of which band matched), so filtering first is
+        # semantically identical and shrinks the dropDuplicates exchange
+        # from every candidate pair to just the true near-dups (~20x on
+        # a uniform corpus; the difference between a shuffle of the
+        # candidate set and a shuffle of the answer at 10^8+ rows)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

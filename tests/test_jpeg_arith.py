@@ -135,6 +135,26 @@ def test_arith_jpeg_flat_image_compresses_hard():
     assert len(ar) < 700
 
 
+def test_arith_multiscan_non_interleaved_bit_identical():
+    """ns==1 arithmetic scans (component's own block grid, per-scan
+    statistics + restarts) must reconstruct the same pixels as the
+    interleaved Huffman baseline."""
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_multiscan,
+    )
+
+    rng = np.random.default_rng(41)
+    img = photo(rng, 44, 52)  # non-multiple of 16: padding-block handling
+    for sub in ("444", "420"):
+        for ri in (0, 5):
+            hu = encode_jpeg(img, quality=82, subsampling=sub)
+            ar = encode_jpeg_arith_multiscan(
+                img, quality=82, subsampling=sub, restart_interval=ri
+            )
+            assert ar.count(b"\xff\xda") == 3
+            assert np.array_equal(decode_jpeg(hu), decode_jpeg(ar)), (sub, ri)
+
+
 def test_arith_progressive_still_rejected():
     rng = np.random.default_rng(5)
     data = bytearray(encode_jpeg_arith(photo(rng, 16, 16), 90))
