@@ -18,9 +18,12 @@ Round 5 re-windows e2_explode_regex, f2_abbrev_rewrite, f4_case_fold and
 g4_lww_upsert (all downstream of the round-4 attrs.py / xml_extract.py
 rewrites and the round-5 GKN blank-owner fix) and rotates in the new
 knn_escalated gate (birth round; the bounded-iterative-disk-escalation
-path with the whole-layer fallback gated off).  Demoted in exchange:
-j1_classifier_join, g1_segmentation, g2_shoelace, g3_orientation,
-cell_encode — classifiers.py / functions/geometry.py / index/grid.py are
+path with the whole-layer fallback gated off) plus dedup_cluster_planted
+(birth round; connected-components near-dup clustering over a planted
+chain corpus vs a recursive-CTE transitive-closure oracle).  Demoted in
+exchange: j1_classifier_join, g1_segmentation, g2_shoelace,
+g3_orientation, cell_encode, text_fingerprint — classifiers.py /
+functions/geometry.py / index/grid.py / operators/textops.py are
 untouched in rounds 4-5 and each has green driver rows in r1-r4.
 Rows-only organic variants whose recall evidence is carried by
 planted-oracle twins were removed from the registry entirely (round-3
@@ -99,6 +102,7 @@ _TAIL = [
     "g2_shoelace",                     # functions/geometry.py untouched; green r01-r04
     "g3_orientation",                  # functions/geometry.py untouched; green r01-r04
     "cell_encode",                     # index/grid.py untouched; green r01-r04
+    "text_fingerprint",                # operators/textops.py untouched; green r01-r04
 ]
 
 

@@ -208,8 +208,11 @@ def simhash_near_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # bit_count verify BEFORE the dedup exchange (same reasoning as
+        # hamming_near_pairs: hamming is band-independent, the filter
+        # shrinks the shuffle from candidates to answers)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -340,3 +343,73 @@ def phash_near_pairs(
         images, max_hamming, id_col=id_col, hash_col="phash",
         n_bands=n_bands, chunks_per_band=chunks_per_band,
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a pair list: ``(id, component)`` where
+    ``component`` is the minimum member id of the pair-connected group.
+
+    This is the step that turns pair detection (MinHash / SimHash /
+    pHash / embedding joins above) into actual deduplication: pick the
+    canonical representative per component, drop the rest.  Transitivity
+    matters — two documents can be near-dups of a shared middle document
+    while exceeding the radius between themselves.
+
+    Algorithm: min-label propagation WITH pointer jumping — each round
+    every node takes the min of (its label, its neighbors' labels, its
+    label's label).  The jump join halves label-chain depth per round,
+    so convergence is O(log n) rounds even on adversarial path graphs
+    (plain neighbor propagation is O(diameter)).  Each round is two
+    shuffles on the label key; ``localCheckpoint`` keeps the lineage
+    flat so round k does not recompute rounds 1..k-1 — the standard
+    iterative-algorithm discipline at 10^9+-edge scale.  The fixpoint
+    check is an existence probe (``limit(1)``), not a full count.
+    """
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["b"] == labels["node"]).select(
+            sym["a"].alias("node"), labels["label"]
+        )
+        jump = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.node"))
+            .select(F.col("l1.node").alias("node"), F.col("l2.label").alias("label"))
+        )
+        new = (
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))

@@ -412,6 +412,55 @@ FROM base WHERE k <= 4
 """
 
 
+def dedup_cluster_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING with a planted-chain oracle: every image with
+    orderkey < 200 gets two chained variants — ``~b`` at hamming 3 from
+    the base and ``~c`` at hamming 3 from ``~b`` but 6 from the base.
+    The banding join therefore yields edges (A,B) and (B,C) but NOT
+    (A,C): the component {A,B,C} exists only through transitivity, which
+    is exactly what :func:`connected_components` must supply.  The
+    DuckDB oracle computes the same components by recursive transitive
+    closure over the same closed-form edge set.  Organic edges are
+    impossible: base phashes are pairwise >= 15 apart (verified across
+    sf0.001/0.01/0.1), so cross-variant distances are >= 9 > 4."""
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import (
+        connected_components,
+        phash_near_pairs,
+    )
+
+    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    okey = F.split("image_id", "-")[1].cast("long")
+    base = img.filter(okey < 200).select("image_id", "phash")
+    vb = base.select(
+        F.concat("image_id", F.lit("~b")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(0b111)).alias("phash"),
+    )
+    vc = base.select(
+        F.concat("image_id", F.lit("~c")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(0b111111)).alias("phash"),
+    )
+    corpus = base.unionByName(vb).unionByName(vc)
+    pairs = phash_near_pairs(corpus, max_hamming=4)
+    return connected_components(pairs)
+
+
+DEDUP_CLUSTER_PLANTED_SQL = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT concat('img-', l_orderkey, '-', l_linenumber) AS id
+  FROM lineitem WHERE l_orderkey < 200),
+edges AS (
+  SELECT id AS s, id || '~b' AS t FROM base
+  UNION ALL SELECT id || '~b', id || '~c' FROM base),
+und AS (SELECT s, t FROM edges UNION SELECT t, s FROM edges),
+nodes AS (SELECT s AS id FROM und GROUP BY s),
+reach(s, t) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s)
+SELECT s AS id, MIN(t) AS component FROM reach GROUP BY s
+"""
+
+
 # --- owner-aggregation matrix (A1, real_estate.py:183-452) -------------------
 
 def a1_owner_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1281,6 +1330,7 @@ ENGINE_QUERIES = {
     "video_frame_sample": video_frame_sample,
     "dedup_exact": dedup_exact,
     "dedup_phash_planted": dedup_phash_planted,
+    "dedup_cluster_planted": dedup_cluster_planted,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_planted": dedup_minhash_planted,
@@ -1321,6 +1371,7 @@ ENGINE_ORACLES = {
     "video_frame_sample": VIDEO_FRAME_SAMPLE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_phash_planted": DEDUP_PHASH_PLANTED_SQL,
+    "dedup_cluster_planted": DEDUP_CLUSTER_PLANTED_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_planted": DEDUP_MINHASH_PLANTED_SQL,
     "dedup_simhash_planted": DEDUP_SIMHASH_PLANTED_SQL,

@@ -389,3 +389,68 @@ def test_hamming_combinatorial_banding_matches_bruteforce(spark):
         hamming_near_pairs(df, max_hamming=4, n_bands=6, chunks_per_band=3)
     with _pytest.raises(ValueError, match="chunks_per_band"):
         hamming_near_pairs(df, max_hamming=4, n_bands=8, chunks_per_band=9)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random sparse graphs: pointer-jumping min-label propagation must
+    match a sequential union-find exactly, including on path graphs
+    where transitivity does all the work."""
+    import numpy as np
+    import pandas as pd
+
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import (
+        connected_components,
+    )
+
+    rng = np.random.default_rng(77)
+    cases = []
+    # random sparse graph
+    n = 120
+    edges = [(f"n{a:03d}", f"n{b:03d}")
+             for a, b in rng.integers(0, n, (90, 2)) if a != b]
+    cases.append(edges)
+    # adversarial path graph (diameter = n-1): plain neighbor
+    # propagation needs ~60 rounds, pointer jumping ~log2(60)
+    cases.append([(f"p{i:03d}", f"p{i+1:03d}") for i in range(60)])
+    # two rings + an isolated pair
+    ring = [(f"r{i}", f"r{(i+1) % 10}") for i in range(10)]
+    cases.append(ring + [("x1", "x2")])
+    for edges in cases:
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["id_a", "id_b"])
+        )
+        # default max_iter: a 90-edge random forest takes ~14 rounds
+        # (min-propagation + jumping is O(log n) with a real constant)
+        got = {
+            r.id: r.component
+            for r in connected_components(df).collect()
+        }
+        assert got == want
+
+
+def test_connected_components_nonconvergence_guard(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import (
+        connected_components,
+    )
+
+    edges = [(f"q{i:02d}", f"q{i+1:02d}") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(df, max_iter=1)
