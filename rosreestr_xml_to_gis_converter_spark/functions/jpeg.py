@@ -24,10 +24,11 @@ that reconstruct coefficients BIT-IDENTICAL to the baseline decode of
 the same image.  The encoders emit 4:4:4 (byte-identical to earlier
 rounds) or 4:2:0 (``subsampling='420'``, 2x2 box-decimated chroma),
 sequential or progressive.  SOF1 (extended sequential, identical decode
-at 8-bit) is accepted; SOF9 (sequential ARITHMETIC coding) decodes via
-the QM-coder in ``jpeg_arith.py`` (round 5), including DAC conditioning
-and positional restarts.  Hierarchical and progressive-arithmetic modes
-(SOF3/5/6/7/10/11, vanishingly rare) raise ``ValueError``.
+at 8-bit) is accepted; SOF9 (sequential ARITHMETIC coding) and SOF10
+(progressive arithmetic) decode via the QM-coder in ``jpeg_arith.py``
+(round 5), including DAC conditioning and positional restarts.
+Hierarchical and lossless modes (SOF3/5/6/7/11/13-15, vanishingly
+rare) raise ``ValueError``.
 """
 
 from __future__ import annotations
@@ -562,18 +563,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
                 qt[tq] = tbl[UNZIGZAG].reshape(8, 8)
                 p += 65
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF1 extended sequential (identical decode
-            # at 8-bit) / SOF2 progressive / SOF9 sequential arithmetic
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            # at 8-bit) / SOF2 progressive / SOF9 sequential arithmetic /
+            # SOF10 progressive arithmetic
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             p = 6
             for _ in range(nc):
                 cid, samp, tq = seg[p], seg[p + 1], seg[p + 2]
                 comps.append((cid, samp, tq))
                 p += 3
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
             raise ValueError(f"unsupported JPEG mode (SOF{marker & 0xF})")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
@@ -608,13 +610,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 frame = _build_frame(h, w, comps)
             if arith:
-                from .jpeg_arith import decode_arith_scan
-
                 end = _find_entropy_end(data, scan_start)
-                decode_arith_scan(
-                    data[scan_start:end], scan_comps, frame,
-                    restart_interval, dc_cond, ac_cond,
-                )
+                if progressive:  # SOF10
+                    from .jpeg_arith import decode_arith_progressive_scan
+
+                    decode_arith_progressive_scan(
+                        data[scan_start:end], scan_comps, ss, se, ah, al,
+                        frame, restart_interval, dc_cond, ac_cond,
+                    )
+                else:  # SOF9
+                    from .jpeg_arith import decode_arith_scan
+
+                    decode_arith_scan(
+                        data[scan_start:end], scan_comps, frame,
+                        restart_interval, dc_cond, ac_cond,
+                    )
                 pos = end
                 scan_start = None
                 baseline_scanned = True  # reuse the coefficient-finish path

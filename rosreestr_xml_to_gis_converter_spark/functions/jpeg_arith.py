@@ -24,8 +24,13 @@ each other and against the Huffman baseline's coefficients (same image,
 same quant tables -> bit-identical pixels), and compression-ratio sanity
 is asserted; no third-party arithmetic-JPEG producer exists in this
 offline sandbox, so cross-codec interop of the state table rests on the
-spec text rather than a fixture.  Progressive-arithmetic (SOF10) and
-hierarchical modes remain unsupported.
+spec text rather than a fixture.  Progressive-arithmetic (SOF10) is
+covered too: the Annex G successive-approximation decision procedures
+(DC first/refine, AC band first via the generalized sequential tree, AC
+refine per Figure G.10) over the same per-scan statistics discipline —
+see :func:`decode_arith_progressive_scan` /
+:func:`encode_jpeg_arith_progressive`.  Hierarchical modes remain
+unsupported.
 
 Reference parity note: the reference repo (PyQt desktop converter) has
 no image codec at all; this exists for the BASELINE.json image-table
@@ -379,16 +384,21 @@ def _encode_dc(enc, st, stats, ci, diff, dc_l, dc_u) -> None:
         mm >>= 1
 
 
-def _decode_ac_block(dec, st, stats, blk, kx) -> None:
-    """AC coefficients of one block into ``blk`` (zigzag order, 64)."""
-    k = 1
-    while k <= 63:
+def _decode_ac_block(dec, st, stats, blk, kx, ss=1, se=63, al=0) -> None:
+    """AC coefficients of one block into ``blk`` (zigzag order, 64).
+
+    Defaults cover the sequential whole-band case; progressive
+    spectral-selection first scans (T.81 G.2, same decision tree
+    restricted to [ss, se] with the decoded value scaled by 2^al) pass
+    the band bounds and the successive-approximation low bit."""
+    k = ss
+    while k <= se:
         base = 3 * (k - 1)
         if dec.decode(st, base):  # EOB
             return
         while dec.decode(st, base + 1) == 0:
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("arithmetic AC run past block end")
             base = 3 * (k - 1)
         sign = dec.decode(stats.fixed, 0)
@@ -411,14 +421,49 @@ def _decode_ac_block(dec, st, stats, blk, kx) -> None:
                 v |= mm
             mm >>= 1
         v += 1
-        blk[k] = -v if sign else v
+        blk[k] = (-v if sign else v) << al
         k += 1
 
 
-def _encode_ac_block(enc, st, stats, zz, kx) -> None:
-    """``zz``: the block's 64 quantized coefficients in zigzag order."""
-    nonzero = [k for k in range(1, 64) if zz[k]]
-    k = 1
+def _decode_ac_refine_block(dec, st, stats, blk, ss, se, al) -> None:
+    """AC successive-approximation refinement of one block (T.81 G.3,
+    the Figure G.10 decision walk): per coefficient in [ss, se] —
+    history-nonzero coefficients take one adaptive correction bit
+    (context base+2), history-zero ones a significance decision
+    (base+1) with a fixed-estimate sign; the EOB decision (base) is
+    tested only past the previous stage's end-of-block index."""
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex >= ss and int(blk[kex]) == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex and dec.decode(st, base):
+            return  # EOB
+        while True:
+            c = int(blk[k])
+            if c:
+                if dec.decode(st, base + 2):
+                    blk[k] = c + (m1 if c < 0 else p1)
+                break
+            if dec.decode(st, base + 1):
+                blk[k] = m1 if dec.decode(stats.fixed, 0) else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refinement run past band end")
+            base = 3 * (k - 1)
+        k += 1
+
+
+def _encode_ac_block(enc, st, stats, zz, kx, ss=1, se=63, al=0) -> None:
+    """``zz``: the block's 64 quantized coefficients in zigzag order.
+    Defaults = sequential whole band; progressive first scans pass the
+    band bounds and point-transform (magnitude shift by ``al``)."""
+    nonzero = [k for k in range(ss, se + 1) if abs(int(zz[k])) >> al]
+    k = ss
     for nz in nonzero:
         base = 3 * (k - 1)
         enc.encode(st, base, 0)  # not EOB at k
@@ -430,7 +475,7 @@ def _encode_ac_block(enc, st, stats, zz, kx) -> None:
         v = int(zz[k])
         sign = 1 if v < 0 else 0
         enc.encode(stats.fixed, 0, sign)
-        sz = (-v if sign else v) - 1
+        sz = (abs(v) >> al) - 1
         p = base + 2
         if sz == 0:
             enc.encode(st, p, 0)
@@ -457,7 +502,40 @@ def _encode_ac_block(enc, st, stats, zz, kx) -> None:
             enc.encode(st, p, 1 if sz & mm else 0)
             mm >>= 1
         k += 1
-    if k <= 63:
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _encode_ac_refine_block(enc, st, stats, zz, ss, se, ah, al) -> None:
+    """Encoder twin of :func:`_decode_ac_refine_block`: ``ke`` is the
+    current stage's last significant index (|v| >> al), ``kex`` the
+    previous stage's (|v| >> ah); decisions mirror Figure G.10."""
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (abs(int(zz[kex])) >> ah) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, base, 0)  # not EOB yet
+        while True:
+            v = int(zz[k])
+            m = abs(v) >> al
+            if m:
+                if m >> 1:  # history-nonzero: one correction bit
+                    enc.encode(st, base + 2, m & 1)
+                else:  # newly significant: decision + fixed-estimate sign
+                    enc.encode(st, base + 1, 1)
+                    enc.encode(stats.fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if k <= se:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
 
 
@@ -542,6 +620,115 @@ def decode_arith_scan(
             blk[0] = _decode_dc(dec, stats.dc[td], stats, ci, dc_l, dc_u)
             _decode_ac_block(dec, stats.ac[ta], stats, blk, ac_cond.get(ta, 5))
             planes[ci][by, bx] = blk
+
+
+def decode_arith_progressive_scan(
+    scan: bytes,
+    scan_comps: list[tuple[int, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    frame: dict,
+    restart_interval: int = 0,
+    dc_cond: dict[int, tuple[int, int]] | None = None,
+    ac_cond: dict[int, int] | None = None,
+) -> None:
+    """One progressive-arithmetic (SOF10) scan into the frame's
+    coefficient planes — T.81 Annex G with QM entropy decisions:
+
+    * DC first (Ah=0): the sequential DC decision tree over the
+      point-transformed value, stored ``<< Al`` (may interleave
+      components; the only scan type that does);
+    * DC refinement (Ah>0): one fixed-estimate bit per block ORed in at
+      ``1 << Al`` (two's-complement, so negative DCs refine correctly);
+    * AC first: the sequential AC tree restricted to [Ss, Se], values
+      scaled by ``2^Al`` (always single-component, own block grid);
+    * AC refinement: the Figure G.10 walk in
+      :func:`_decode_ac_refine_block`.
+
+    Statistics are per-scan and reset at restart markers, exactly as in
+    the sequential walk."""
+    dc_cond = dc_cond or {}
+    ac_cond = ac_cond or {}
+    planes = frame["planes"]
+    comp_index = frame["comp_index"]
+    his, vis = frame["his"], frame["vis"]
+    p1 = 1 << al
+    segs = _split_restarts(scan) if restart_interval else [scan]
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        plan = [
+            (comp_index[cid], his[comp_index[cid]], vis[comp_index[cid]], td)
+            for cid, td, _ in scan_comps
+        ]
+        if len(plan) == 1:
+            ci, hi, vi, td = plan[0]
+            bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
+            bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
+            nbx, nby = (bw + 7) // 8, (bh + 7) // 8
+            groups = [[(ci, by, bx, td)] for by in range(nby) for bx in range(nbx)]
+        else:
+            groups = []
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    g = []
+                    for ci, hi, vi, td in plan:
+                        for by in range(vi):
+                            for bx in range(hi):
+                                g.append((ci, my * vi + by, mx * hi + bx, td))
+                    groups.append(g)
+        stats = _ScanStats(len(planes), [td for *_, td in plan], [])
+        seg_i = 0
+        dec = _ArithDecoder(_ArithBitSrc(segs[0]))
+        for gi, group in enumerate(groups):
+            if restart_interval and gi and gi % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing restart marker in arithmetic scan")
+                stats.reset()
+                dec = _ArithDecoder(_ArithBitSrc(segs[seg_i]))
+            for ci, by, bx, td in group:
+                blk = planes[ci][by, bx]
+                if ah == 0:
+                    dc_l, dc_u = dc_cond.get(td, (0, 1))
+                    blk[0] = _decode_dc(dec, stats.dc[td], stats, ci, dc_l, dc_u) << al
+                elif dec.decode(stats.fixed, 0):
+                    blk[0] = int(blk[0]) | p1
+        return
+
+    # AC scan — always a single component (G.1.1.1.1)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be non-interleaved")
+    cid, _, ta = scan_comps[0]
+    ci = comp_index[cid]
+    hi, vi = his[ci], vis[ci]
+    bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
+    bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
+    nbx, nby = (bw + 7) // 8, (bh + 7) // 8
+    rows = planes[ci]
+    kx = ac_cond.get(ta, 5)
+    stats = _ScanStats(1, [], [ta])
+    st = stats.ac[ta]
+    seg_i = 0
+    dec = _ArithDecoder(_ArithBitSrc(segs[0]))
+    unit = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and unit and unit % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("missing restart marker in arithmetic scan")
+                stats.reset()
+                dec = _ArithDecoder(_ArithBitSrc(segs[seg_i]))
+            unit += 1
+            blk = rows[by, bx]
+            if ah == 0:
+                _decode_ac_block(dec, st, stats, blk, kx, ss, se, al)
+            else:
+                _decode_ac_refine_block(dec, st, stats, blk, ss, se, al)
 
 
 def encode_jpeg_arith(
@@ -716,5 +903,155 @@ def encode_jpeg_arith_multiscan(
                 stats.last_dc[0] = int(blk[0])
                 _encode_ac_block(enc, stats.ac[tbl], stats, blk, 5)
         out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """RGB8 (h, w, 3) -> PROGRESSIVE-ARITHMETIC (SOF10) JFIF bytes.
+
+    Same quantized coefficients as ``jpeg.encode_jpeg`` at the same
+    settings (decodes are pixel-identical) and the same 6-scan script as
+    ``jpeg.encode_jpeg_progressive`` — interleaved DC with successive
+    approximation, per-component spectral-selection AC bands, two AC
+    refinement levels — so every Annex G decision procedure is
+    exercised.  ``restart_interval`` > 0 emits DRI/RSTn with per-restart
+    statistics reset (MCUs in the DC scans, blocks in the AC scans)."""
+    from .jpeg import ZIGZAG, _plane_to_zz, _quality_tables, _rgb_to_ycbcr
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_jpeg_arith_progressive expects (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    ql, qc = _quality_tables(quality)
+    sub = subsampling == "420"
+    mcu_px = 16 if sub else 8
+    hp = (h + mcu_px - 1) // mcu_px * mcu_px
+    wp = (w + mcu_px - 1) // mcu_px * mcu_px
+    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded)
+    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
+    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
+    for ci in (1, 2):
+        plane = ycc[..., ci]
+        if sub:
+            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        comps_zz.append(_plane_to_zz(plane, qcm))
+
+    y_samp = 0x22 if sub else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    for tid, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in q.reshape(64)[ZIGZAG]
+        )
+    out += b"\xff\xca" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF10
+    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack("BBB", cid, samp, tq)
+    if restart_interval > 0:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos(scomps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
+        for cid, tdta in scomps:
+            hdr += struct.pack("BB", cid, tdta)
+        return hdr + struct.pack("BBB", ss, se, (ah << 4) | al)
+
+    dc_tbls = [0, 1, 1]
+    ac_tbls = [0, 1, 1]
+    sampling = [(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3
+    nby, nbx = comps_zz[1].shape[:2]  # chroma grid == MCU grid
+
+    def mcu_units():
+        """(mcu index, component, dc value) in interleaved order."""
+        for my in range(nby):
+            for mx in range(nbx):
+                for ci, (shi, svi) in enumerate(sampling):
+                    for by in range(svi):
+                        for bx in range(shi):
+                            yield (
+                                my * nbx + mx,
+                                ci,
+                                int(comps_zz[ci][svi * my + by, shi * mx + bx, 0]),
+                            )
+
+    # scan 1: DC first, Al=1 (arithmetic shift of the SIGNED value)
+    out += sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
+    stats = _ScanStats(3, dc_tbls, [])
+    enc = _ArithEncoder()
+    rst = 0
+    cur_mcu = 0
+    for mcu_i, ci, dc in mcu_units():
+        if restart_interval > 0 and mcu_i > cur_mcu:
+            cur_mcu = mcu_i
+            if mcu_i % restart_interval == 0:
+                out += enc.flush()
+                out += bytes((0xFF, 0xD0 | rst))
+                rst = (rst + 1) & 7
+                enc = _ArithEncoder()
+                stats.reset()
+        v = dc >> 1
+        _encode_dc(enc, stats.dc[dc_tbls[ci]], stats, ci, v - stats.last_dc[ci], 0, 1)
+        stats.last_dc[ci] = v
+    out += enc.flush()
+    # scan 2: DC refinement, Al=0 — one fixed-estimate bit per block
+    out += sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    stats = _ScanStats(3, dc_tbls, [])
+    enc = _ArithEncoder()
+    rst = 0
+    cur_mcu = 0
+    for mcu_i, _ci, dc in mcu_units():
+        if restart_interval > 0 and mcu_i > cur_mcu:
+            cur_mcu = mcu_i
+            if mcu_i % restart_interval == 0:
+                out += enc.flush()
+                out += bytes((0xFF, 0xD0 | rst))
+                rst = (rst + 1) & 7
+                enc = _ArithEncoder()
+                stats.reset()
+        enc.encode(stats.fixed, 0, dc & 1)
+    out += enc.flush()
+    # scans 3-6: AC bands per component over the component's TRUE block
+    # grid (A.2.2 — MCU padding blocks are not coded)
+    hmax = 2 if sub else 1
+    samp_grid = []
+    for ci, (shi, svi) in enumerate(sampling):
+        cw = (w * shi + hmax - 1) // hmax
+        ch = (h * svi + hmax - 1) // hmax
+        samp_grid.append(((ch + 7) // 8, (cw + 7) // 8))
+    for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)):
+        for ci in range(3):
+            ta = ac_tbls[ci]
+            out += sos([(ci + 1, ta)], ss, se, ah, al)
+            stats = _ScanStats(1, [], [ta])
+            st = stats.ac[ta]
+            enc = _ArithEncoder()
+            rst = 0
+            unit = 0
+            cby, cbx = samp_grid[ci]
+            for by in range(cby):
+                for bx in range(cbx):
+                    if restart_interval > 0 and unit > 0 and unit % restart_interval == 0:
+                        out += enc.flush()
+                        out += bytes((0xFF, 0xD0 | rst))
+                        rst = (rst + 1) & 7
+                        enc = _ArithEncoder()
+                        stats.reset()
+                    unit += 1
+                    blk = comps_zz[ci][by, bx]
+                    if ah == 0:
+                        _encode_ac_block(enc, st, stats, blk, 5, ss, se, al)
+                    else:
+                        _encode_ac_refine_block(enc, st, stats, blk, ss, se, ah, al)
+            out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -853,25 +853,32 @@ def _planted_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if d % 2 == 0:
                     # flat color decodes EXACTLY (DC-only block) under
                     # every entropy layer, so the closed-form oracle
-                    # (mean == c) gates all three decoders: baseline
+                    # (mean == c) gates all four decoders: baseline
                     # Huffman, progressive (SOF2), and the round-5 QM
-                    # arithmetic coder (SOF9)
+                    # arithmetic coders (sequential SOF9 + progressive
+                    # SOF10)
                     c = (d * 13 + 7) % 256
                     arr = np.full((16, 16, 3), c, np.uint8)
-                    if d % 6 == 0:
+                    if d % 8 == 0:
                         data = encode_image(arr, "jpeg")
-                    elif d % 6 == 2:
+                    elif d % 8 == 2:
                         from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
                             encode_jpeg_progressive,
                         )
 
                         data = encode_jpeg_progressive(arr)
-                    else:
+                    elif d % 8 == 4:
                         from rosreestr_xml_to_gis_converter_spark.functions.jpeg_arith import (
                             encode_jpeg_arith,
                         )
 
                         data = encode_jpeg_arith(arr)
+                    else:
+                        from rosreestr_xml_to_gis_converter_spark.functions.jpeg_arith import (
+                            encode_jpeg_arith_progressive,
+                        )
+
+                        data = encode_jpeg_arith_progressive(arr)
                     fmt = "jpeg"
                 else:
                     data, fmt = grad_png, "png"

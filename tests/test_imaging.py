@@ -183,21 +183,21 @@ def test_real_jpeg_rejects_non_baseline():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
-    # hierarchical / progressive-arithmetic are guarded boundaries, not
-    # wrong answers (SOF2 progressive is supported since round 4, SOF9
-    # sequential arithmetic since round 5; a baseline stream relabeled
-    # SOF2 still errors because its scan violates G.1 -- a DC band with
-    # Se=63)
+    # hierarchical modes are guarded boundaries, not wrong answers (SOF2
+    # progressive is supported since round 4, SOF9/SOF10 arithmetic since
+    # round 5; a baseline stream relabeled SOF2 or SOF10 still errors
+    # because its scan violates G.1 -- a DC band with Se=63)
     rng = np.random.default_rng(16)
     data = bytearray(encode_jpeg(gen_image_array(rng, 16, 16), 90))
     sof = data.index(b"\xff\xc0")
-    for bad in (0xCA, 0xC3):
+    for bad in (0xC3, 0xC5):
         data[sof + 1] = bad
         with pytest.raises(ValueError, match="unsupported JPEG mode"):
             decode_jpeg(bytes(data))
-    data[sof + 1] = 0xC2
-    with pytest.raises(ValueError, match="Se=0"):
-        decode_jpeg(bytes(data))
+    for prog in (0xC2, 0xCA):
+        data[sof + 1] = prog
+        with pytest.raises(ValueError, match="Se=0"):
+            decode_jpeg(bytes(data))
     # SOF1 (extended sequential) decodes identically to the same stream
     # labeled SOF0 at 8-bit precision
     data[sof + 1] = 0xC1

@@ -155,10 +155,48 @@ def test_arith_multiscan_non_interleaved_bit_identical():
             assert np.array_equal(decode_jpeg(hu), decode_jpeg(ar)), (sub, ri)
 
 
-def test_arith_progressive_still_rejected():
+def test_arith_progressive_bit_identical():
+    """SOF10 (progressive arithmetic): the 6-scan successive-
+    approximation script must reconstruct coefficients bit-identical to
+    the sequential Huffman baseline at the same settings — covers DC
+    first/refine, AC band-first and both AC refinement levels of the
+    Annex G decision procedures."""
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    rng = np.random.default_rng(43)
+    img = photo(rng, 44, 52)  # non-multiple of 16: padding-block handling
+    for sub in ("444", "420"):
+        for ri in (0, 5):
+            hu = encode_jpeg(img, quality=82, subsampling=sub)
+            ar = encode_jpeg_arith_progressive(
+                img, quality=82, subsampling=sub, restart_interval=ri
+            )
+            assert b"\xff\xca" in ar and b"\xff\xc4" not in ar
+            assert ar.count(b"\xff\xda") == 14  # 2 DC + 4 bands x 3 comps
+            assert np.array_equal(decode_jpeg(hu), decode_jpeg(ar)), (sub, ri)
+
+
+def test_arith_progressive_flat_exact_and_odd_dims():
+    from rosreestr_xml_to_gis_converter_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    img = np.full((16, 16, 3), 137, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_arith_progressive(img)), img)
+    rng = np.random.default_rng(44)
+    odd = photo(rng, 33, 17)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arith_progressive(odd, 85, "420")),
+        decode_jpeg(encode_jpeg(odd, 85, subsampling="420")),
+    )
+
+
+def test_hierarchical_still_rejected():
     rng = np.random.default_rng(5)
     data = bytearray(encode_jpeg_arith(photo(rng, 16, 16), 90))
     sof = data.index(b"\xff\xc9")
-    data[sof + 1] = 0xCA  # progressive arithmetic
+    data[sof + 1] = 0xC5  # differential sequential (hierarchical)
     with pytest.raises(ValueError, match="unsupported JPEG mode"):
         decode_jpeg(bytes(data))
