@@ -188,7 +188,9 @@ def knn_grid(
     broadcast ranking — SIZE-GATED (round-4 ADVICE): built when
     ``layer_fallback`` is True, or when it is None (auto) and the layer
     has at most ``layer_fallback_max_rows`` rows (one count() on the
-    dimension side).  With the gate open the output is exactly
+    dimension side; callers who KNOW the layer is dimension-sized
+    should pass ``layer_fallback=True`` — the auto count() costs a full
+    job launch per call, ~0.4 s of overhead even on a literal layer).  With the gate open the output is exactly
     min(k, |centroids|) rows per image; with it closed (huge layers)
     a still-short image ranks the nearest available escalated candidates
     and may emit fewer than k rows — at 10^7-centroid density the

@@ -148,7 +148,13 @@ def knn_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle the old agg-based top-k paid
     img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
     centroids = spark.createDataFrame(_centroids_pdf())
-    out = knn_grid(img, centroids, TESTDATA_BOX, k=KNN_K, res=KNN_RES, disk=KNN_DISK)
+    # the layer is a LITERAL dimension (TESTDATA_PARCELS), so open the
+    # whole-layer gate explicitly instead of paying the auto-gate's
+    # sizing job (~0.4 s of pure job-launch overhead per call)
+    out = knn_grid(
+        img, centroids, TESTDATA_BOX, k=KNN_K, res=KNN_RES, disk=KNN_DISK,
+        escalate=(), layer_fallback=True,
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
