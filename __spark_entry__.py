@@ -103,6 +103,11 @@ _TAIL = [
     "g3_orientation",                  # functions/geometry.py untouched; green r01-r04
     "cell_encode",                     # index/grid.py untouched; green r01-r04
     "text_fingerprint",                # operators/textops.py untouched; green r01-r04
+    # demoted late round 5 to admit cell_rollup (birth round: the
+    # multi-resolution hypertable rollup over cell_parent_col, the one
+    # grid primitive that had no oracle query); same grounds as
+    # text_fingerprint
+    "text_tokens",                     # operators/textops.py untouched; green r01-r04
 ]
 
 

@@ -75,6 +75,66 @@ SELECT image_id, lon, lat, {cell_sql('lat', 'lon', JOIN_RES)} AS cell FROM pts
 """
 
 
+def cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution cell rollup (hypertable-style): per-cell image
+    counts at res 12 rolled up to res 9 and 6.
+
+    Scale shape: the raw table is scanned ONCE and aggregated at the
+    finest resolution; every coarser level derives from that (already
+    tiny) aggregate via ``cell_parent_col`` bit arithmetic — one explode
+    of 3 (res, ancestor) structs per FINE CELL, then a re-aggregate over
+    ~|cells| rows.  At 10^12 images the second shuffle moves cell
+    counts, not rows.  Exactness across levels is guaranteed because
+    the grid scales by powers of two: ``floor(t * 2^12) >> 3 ==
+    floor(t * 2^9)`` exactly in IEEE-754 (power-of-two products are
+    exact), and the per-res clamp commutes with the shift — so the
+    oracle may encode each level independently from lat/lon."""
+    from rosreestr_xml_to_gis_converter_spark.index.grid import (
+        cell_col,
+        cell_parent_col,
+    )
+
+    img = images_from_lineitem(spark, sf_dir)
+    pts = with_geotag(img, TESTDATA_BOX)
+    fine = (
+        pts.select(cell_col(F.col("lat"), F.col("lon"), JOIN_RES).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+    levels = F.array(
+        F.struct(F.lit(JOIN_RES).alias("res"), F.col("cell").alias("cell")),
+        F.struct(
+            F.lit(9).alias("res"),
+            cell_parent_col(F.col("cell"), JOIN_RES, 9).alias("cell"),
+        ),
+        F.struct(
+            F.lit(6).alias("res"),
+            cell_parent_col(F.col("cell"), JOIN_RES, 6).alias("cell"),
+        ),
+    )
+    return (
+        fine.select(F.explode(levels).alias("rc"), "n_images")
+        .groupBy(F.col("rc.res").alias("res"), F.col("rc.cell").alias("cell"))
+        .agg(F.sum("n_images").alias("n_images"))
+    )
+
+
+CELL_ROLLUP_SQL = f"""
+WITH {_IMAGES_CTE}
+SELECT CAST(12 AS INTEGER) AS res, {cell_sql('lat', 'lon', 12)} AS cell,
+       COUNT(*) AS n_images
+FROM pts GROUP BY 2
+UNION ALL
+SELECT CAST(9 AS INTEGER) AS res, {cell_sql('lat', 'lon', 9)} AS cell,
+       COUNT(*) AS n_images
+FROM pts GROUP BY 2
+UNION ALL
+SELECT CAST(6 AS INTEGER) AS res, {cell_sql('lat', 'lon', 6)} AS cell,
+       COUNT(*) AS n_images
+FROM pts GROUP BY 2
+"""
+
+
 # --- flagship: spatial join --------------------------------------------------
 
 # PreparedCover amortizes the broadcast-size guard + geometry broadcast
@@ -1341,6 +1401,7 @@ FROM embeddings WHERE vec_id < {_N_QUERIES}
 
 ENGINE_QUERIES = {
     "cell_encode": cell_encode,
+    "cell_rollup": cell_rollup,
     "flagship_spatial_join": flagship_spatial_join,
     "flagship_spatial_join_salted": flagship_spatial_join_salted,
     "flagship_spatial_join_shuffle": flagship_spatial_join_shuffle,
@@ -1384,6 +1445,7 @@ ENGINE_QUERIES = {
 # here on purpose -> driver records the weaker rows-only check for them
 ENGINE_ORACLES = {
     "cell_encode": CELL_ENCODE_SQL,
+    "cell_rollup": CELL_ROLLUP_SQL,
     "flagship_spatial_join": FLAGSHIP_SQL,
     "flagship_spatial_join_salted": FLAGSHIP_SQL,
     "flagship_spatial_join_shuffle": FLAGSHIP_SQL,
