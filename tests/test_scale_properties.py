@@ -17,7 +17,7 @@ from rosreestr_xml_to_gis_converter_spark.schemas import IMAGES_SCHEMA
 from rosreestr_xml_to_gis_converter_spark.synth import (
     TESTDATA_BOX,
     gen_images_pdf,
-    testdata_parcels_rings,
+    testdata_parcels_rings as _parcels_rings,
 )
 
 RES = 12
@@ -77,7 +77,7 @@ def test_skewed_hot_cell_salted_and_plain_agree(spark):
 
     pdf = _skewed_images(1500)
     images = spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
-    parcels = testdata_parcels_rings()
+    parcels = _parcels_rings()
     cover = build_parcel_cover(spark, parcels, RES)
 
     lon = TESTDATA_BOX.lon_np(pdf["phash"].to_numpy())

@@ -18,7 +18,7 @@ from rosreestr_xml_to_gis_converter_spark.synth import (
     gen_images_pdf,
     gen_parcels,
     parcels_to_contours_pdf,
-    testdata_parcels_rings,
+    testdata_parcels_rings as _parcels_rings,
 )
 
 RES = 12
@@ -60,7 +60,7 @@ def test_join_matches_brute_force_general_polygons(spark, seed, n_img, n_parcels
 
 
 def test_join_rectangle_layer_and_salted_path_agree(spark):
-    parcels = testdata_parcels_rings()
+    parcels = _parcels_rings()
     pdf = _strip_bytes(gen_images_pdf(5, 600))
     images = spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
     cover = build_parcel_cover_with_res(spark, parcels, RES)
@@ -93,7 +93,7 @@ def test_join_plan_is_codegen_and_broadcast(spark, tmp_path):
     """Against a parquet scan (the real path), the big side must stay in
     WholeStageCodegen up to the join, the cover side must broadcast, and
     the parquet reader must prune to the columns the join needs."""
-    parcels = testdata_parcels_rings()
+    parcels = _parcels_rings()
     path = str(tmp_path / "images.parquet")
     spark.createDataFrame(
         _strip_bytes(gen_images_pdf(7, 50)), schema=IMAGES_SCHEMA
@@ -126,7 +126,7 @@ def test_broadcast_cover_size_guard_falls_back(spark):
         prepare_cover,
     )
 
-    parcels = testdata_parcels_rings()
+    parcels = _parcels_rings()
     pdf = _strip_bytes(gen_images_pdf(11, 300))
     images = spark.createDataFrame(pdf, schema=IMAGES_SCHEMA)
     cover = build_parcel_cover_with_res(spark, parcels, RES)

@@ -17,7 +17,7 @@ from rosreestr_xml_to_gis_converter_spark.operators.tiling import (
     rasterize_mask,
     tile_masks,
 )
-from rosreestr_xml_to_gis_converter_spark.synth import gen_parcels, testdata_parcels_rings
+from rosreestr_xml_to_gis_converter_spark.synth import gen_parcels, testdata_parcels_rings as _parcels_rings
 
 RES = 9
 PX = 16
@@ -25,7 +25,7 @@ PX = 16
 
 def test_tile_masks_match_numpy_oracle(spark):
     # big rectangles (full tiles guaranteed) + small general polygons
-    parcels = testdata_parcels_rings() + gen_parcels(21, 8)
+    parcels = _parcels_rings() + gen_parcels(21, 8)
     cover = build_parcel_cover(spark, parcels, RES)
     got = {
         (r.tile_cell, r.cad_number): (r.coverage_px, r.mask_md5)
@@ -52,7 +52,7 @@ def test_tile_masks_match_numpy_oracle(spark):
 
 def test_rasterize_mask_full_shortcut_matches_exact():
     # a full cell's mask must equal the exact rasterization of that cell
-    parcels = testdata_parcels_rings()
+    parcels = _parcels_rings()
     _, rings = parcels[0]
     from rosreestr_xml_to_gis_converter_spark.index.grid import polygon_to_cells
 
