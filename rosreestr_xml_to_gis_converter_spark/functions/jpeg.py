@@ -239,7 +239,9 @@ def _plane_to_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """(H8, W8) plane -> (nby, nbx, 64) quantized zigzag blocks."""
     h8, w8 = plane.shape
     blocks = _to_blocks(plane) - 128.0
-    coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    # two batched 8x8 matmuls (BLAS) — the equivalent 3-operand einsum
+    # runs numpy's naive quadruple loop, ~10x slower on small planes
+    coef = (_DCT @ blocks) @ _DCT.T
     quant = np.round(coef / q).astype(np.int32)
     return quant.reshape(-1, 64)[:, ZIGZAG].reshape(h8 // 8, w8 // 8, 64)
 
@@ -842,7 +844,7 @@ def _finish_frame(frame: dict, qt: dict[int, np.ndarray]) -> np.ndarray:
         coef = planes[ci].reshape(-1, 64)[:, UNZIGZAG].reshape(-1, 8, 8).astype(
             np.float64
         ) * q
-        blocks = np.einsum("ji,njk,kl->nil", _DCT, coef, _DCT) + 128.0
+        blocks = (_DCT.T @ coef) @ _DCT + 128.0
         plane = _from_blocks(blocks, nby * 8, nbx * 8)
         # crop to the component's true extent, then replicate up to full
         # resolution (nearest-neighbor upsampling, A.1.1)
