@@ -184,22 +184,34 @@ def main() -> None:
     )
     image_decode_mb_s = round(input_mb / results["image_features_400"], 2)
 
-    # system-codec comparison line (round-4 VERDICT next-round #4): when
-    # Pillow/libjpeg is importable, time the SAME payloads through the
-    # 'system' backend of the decode_image seam — the substitution claim
-    # as a measured number.  Absent in this sandbox -> line omitted.
-    image_decode_mb_s_system = None
+    # codec-level comparison pair (round-4 VERDICT next-round #4): both
+    # backends timed in the SAME shape — one single-threaded decode-only
+    # loop over identical payloads — so the pure/system ratio is the
+    # codec substitution factor itself.  (image_decode_mb_s above is a
+    # different quantity: the parallel Spark decode+features PIPELINE,
+    # tracked across rounds — do not compare the system line to it.)
+    image_codec_mb_s_pure = image_decode_mb_s_system = None
     from rosreestr_xml_to_gis_converter_spark.functions.codec_backend import (
         BACKENDS,
         HAVE_SYSTEM_CODEC,
     )
+    from rosreestr_xml_to_gis_converter_spark.functions.imaging import (
+        _decode_image_pure,
+    )
 
+    payloads = [
+        (bytes(r["bytes"]), r["fmt"])
+        for r in imgs.select("bytes", "fmt").collect()
+    ]
+    t0 = time.time()
+    for data, fmt in payloads:
+        _decode_image_pure(data, fmt)
+    image_codec_mb_s_pure = round(input_mb / (time.time() - t0), 2)
     if HAVE_SYSTEM_CODEC:
-        payloads = [(r["bytes"], r["fmt"]) for r in imgs.select("bytes", "fmt").collect()]
         sys_decode = BACKENDS["system"][0]
         t0 = time.time()
         for data, fmt in payloads:
-            sys_decode(bytes(data), fmt)
+            sys_decode(data, fmt)
         image_decode_mb_s_system = round(input_mb / (time.time() - t0), 2)
 
     # --- skew stress: hot boundary cell, salted vs unsalted ---------------
@@ -271,8 +283,9 @@ def main() -> None:
                 "spatial_join_matched_pairs": join_pairs,
                 "spatial_join_pairs_per_sec": throughput,
                 "image_decode_mb_s": image_decode_mb_s,
+                "image_codec_mb_s_pure": image_codec_mb_s_pure,
                 **(
-                    {"image_decode_mb_s_system": image_decode_mb_s_system}
+                    {"image_codec_mb_s_system": image_decode_mb_s_system}
                     if image_decode_mb_s_system is not None
                     else {}
                 ),

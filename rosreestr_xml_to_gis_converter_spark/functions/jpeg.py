@@ -572,6 +572,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if _prec != 8:
+                # 12-bit sequential/progressive is legal T.81; the 8-bit
+                # level shift and clamp below would silently corrupt it
+                raise ValueError(f"unsupported sample precision {_prec}")
             p = 6
             for _ in range(nc):
                 cid, samp, tq = seg[p], seg[p + 1], seg[p + 2]

@@ -1022,11 +1022,11 @@ def encode_jpeg_arith_progressive(
     out += enc.flush()
     # scans 3-6: AC bands per component over the component's TRUE block
     # grid (A.2.2 — MCU padding blocks are not coded)
-    hmax = 2 if sub else 1
+    hmax = vmax = 2 if sub else 1
     samp_grid = []
     for ci, (shi, svi) in enumerate(sampling):
         cw = (w * shi + hmax - 1) // hmax
-        ch = (h * svi + hmax - 1) // hmax
+        ch = (h * svi + vmax - 1) // vmax
         samp_grid.append(((ch + 7) // 8, (cw + 7) // 8))
     for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)):
         for ci in range(3):

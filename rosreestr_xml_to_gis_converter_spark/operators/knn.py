@@ -252,6 +252,38 @@ def _cen_cells(centroids: DataFrame, res: int, outer: int, inner: int) -> DataFr
     )
 
 
+def _cen_counts(centroids: DataFrame, res: int, d: int) -> DataFrame:
+    """Counts-only twin of :func:`_cen_cells`: cell -> number of
+    centroids within Chebyshev ``d``.  Used as the next escalation
+    level's frontier filter — Spark does not reuse the full map's
+    aggregation across subplans (measured: zero ReusedExchange), so a
+    dedicated counts lineage keeps each heavy collect_list map computed
+    exactly once and the filter side list-free."""
+    n_minus_1 = (1 << res) - 1
+    cen = (
+        centroids.withColumn("_c", cell_col(F.col("clat"), F.col("clon"), res))
+        .withColumn("_ix", F.shiftright(F.col("_c"), _IX_SHIFT).bitwiseAND(F.lit(_IDX_MASK)))
+        .withColumn("_iy", F.col("_c").bitwiseAND(F.lit(_IDX_MASK)))
+        .withColumn("_dx", F.explode(F.sequence(F.lit(-d), F.lit(d))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(-d), F.lit(d))))
+        .withColumn("_nx", F.col("_ix") + F.col("_dx"))
+        .withColumn("_ny", F.col("_iy") + F.col("_dy"))
+        .filter(
+            (F.col("_nx") >= 0)
+            & (F.col("_nx") <= n_minus_1)
+            & (F.col("_ny") >= 0)
+            & (F.col("_ny") <= n_minus_1)
+        )
+        .withColumn(
+            "cell",
+            F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
+            + F.col("_nx") * F.lit(1 << _IX_SHIFT).cast("long")
+            + F.col("_ny"),
+        )
+    )
+    return cen.groupBy("cell").agg(F.count(F.lit(1)).alias("_pc"))
+
+
 def _knn_grid_join(
     pts: DataFrame,
     centroids: DataFrame,
@@ -280,19 +312,21 @@ def _knn_grid_join(
     # join is 1:1, and top-k is a higher-order array expression — the big
     # side never shuffles and the whole query stays in codegen.
     levels = [_cen_cells(centroids, res, disk, disk)]
-    prev_full = levels[0]
+    prev_d = disk
     for mult in escalate:
         d_i = disk * mult
         mi_full = _cen_cells(centroids, res, _exact_disk(d_i), d_i)
         # keep only cells the PREVIOUS level left short: the escalation
-        # maps' size tracks the sparse boundary, not the whole layer
-        prev_cnt = prev_full.select("cell", F.col("_cnt").alias("_pc"))
+        # maps' size tracks the sparse boundary, not the whole layer.
+        # The filter reads a counts-only map (not the previous full map,
+        # which Spark would recompute — no cross-subplan reuse).
+        prev_cnt = _cen_counts(centroids, res, prev_d)
         levels.append(
             mi_full.join(prev_cnt, "cell", "left")
             .filter(F.coalesce(F.col("_pc"), F.lit(0)) < k)
             .select("cell", "_cands", "_cnt")
         )
-        prev_full = mi_full
+        prev_d = d_i
     # All levels join the image side as broadcast LEFT joins on the same
     # cell key — SINGLE-PASS: no union of covered/frontier branches (that
     # would rescan the 10^12-row table once per level), no shuffle of the

@@ -291,7 +291,9 @@ def knn_uncovered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen = spark.createDataFrame(
         pd.DataFrame(SPARSE_CENTROIDS, columns=["cad_number", "clon", "clat"])
     )
-    out = knn_grid(img, cen, TESTDATA_BOX, k=KNN_K, res=9, disk=1)
+    out = knn_grid(
+        img, cen, TESTDATA_BOX, k=KNN_K, res=9, disk=1, layer_fallback=True
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
