@@ -42,8 +42,15 @@ class Catalog:
         partition_by: list[str] | None = None,
     ) -> None:
         if self.use_iceberg:  # pragma: no cover - jar absent offline
+            from pyspark.sql.functions import col
+
             writer = df.writeTo(f"local.{table}")
-            if mode == "append":
+            if partition_by:
+                writer = writer.partitionedBy(*[col(c) for c in partition_by])
+            # append to a missing table creates it (the parquet branch's
+            # mode="append" semantics); exercised by
+            # tests/test_iceberg_optional.py when the jar is present
+            if mode == "append" and self.exists(table):
                 writer.append()
             else:
                 writer.createOrReplace()
@@ -86,17 +93,29 @@ class Catalog:
         tests/test_plans.py asserts zero Exchange operators.
         """
         if self.use_iceberg:  # pragma: no cover - jar absent offline
-            # Iceberg's bucket partition transform is the same layout
-            # contract (hash(key) % n co-location); exercised by the
+            # Iceberg's bucket partition transform carries the same
+            # co-location contract (hash % n): EVERY bucket column gets
+            # its own bucket(n, col) transform, so rows equal on the full
+            # key tuple land in the same partition and a join on that
+            # tuple reads aligned partitions.  (Spark's bucket() helper
+            # is single-column; per-column transforms give n^k partitions
+            # vs the parquet branch's n tuple-hash buckets — co-location
+            # holds either way, and identity-partitioning the extra
+            # columns, which would explode on high-cardinality keys, is
+            # exactly what this avoids.)  sort_cols become a within-task
+            # sort so data files are written in key order, mirroring the
+            # parquet branch's sortBy file order.  Exercised by the
             # guarded tests/test_iceberg_optional.py when the runtime
             # jar is on the classpath.
             from pyspark.sql.functions import bucket, col
 
+            if sort_cols:
+                df = df.sortWithinPartitions(*sort_cols)
             writer = df.writeTo(f"local.{table}").partitionedBy(
                 bucket(n_buckets, col(bucket_cols[0])),
-                *[col(c) for c in bucket_cols[1:]],
+                *[bucket(n_buckets, col(c)) for c in bucket_cols[1:]],
             )
-            if mode == "append":
+            if mode == "append" and self.exists(table):
                 writer.append()
             else:
                 writer.createOrReplace()

@@ -41,7 +41,7 @@ def ice_catalog(spark, tmp_path):
     spark.conf.set("spark.sql.catalog.local.type", "hadoop")
     spark.conf.set("spark.sql.catalog.local.warehouse", str(tmp_path / "ice_wh"))
     yield Catalog(spark, str(tmp_path / "unused_parquet_wh"))
-    for t in ("t_rt", "t_bk", "t_ckpt"):
+    for t in ("t_rt", "t_bk", "t_bk2", "t_first", "t_ckpt"):
         spark.sql(f"DROP TABLE IF EXISTS local.{t}")
 
 
@@ -82,3 +82,42 @@ def test_iceberg_checkpoint_style_appends(ice_catalog, spark):
     got = ice_catalog.read("t_ckpt")
     assert got.count() == 64
     assert got.groupBy("bucket").count().count() == 4
+
+
+def test_iceberg_multicol_bucket_and_sort(ice_catalog, spark):
+    """Multi-column bucketing must bucket EVERY key column (per-column
+    bucket transforms, n^k partitions) — never identity-partition the
+    tail columns, which explodes on high-cardinality keys — and
+    sort_cols must not be silently dropped."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.col("id").alias("cell"),
+        (F.col("id") % 37).alias("other"),
+        F.col("id").alias("v"),
+    )
+    ice_catalog.write_bucketed(
+        df, "t_bk2", ["cell", "other"], n_buckets=4, sort_cols=["v"]
+    )
+    assert ice_catalog.read_table("t_bk2").count() == 200
+    spec = spark.sql("DESCRIBE EXTENDED local.t_bk2").toPandas().to_string()
+    assert "bucket(4, cell)" in spec
+    assert "bucket(4, other)" in spec
+
+
+def test_iceberg_append_creates_missing_table(ice_catalog, spark):
+    """mode='append' on a table that does not exist yet must create it —
+    the parquet branch's append semantics (CheckpointedWriter's first
+    write is an append)."""
+    df = spark.range(8).withColumnRenamed("id", "k")
+    ice_catalog.write(df, "t_first", mode="append")
+    assert ice_catalog.read("t_first").count() == 8
+    ice_catalog.write_bucketed(
+        spark.range(8).withColumnRenamed("id", "cell"),
+        "t_first_bk",
+        ["cell"],
+        n_buckets=2,
+        mode="append",
+    )
+    assert ice_catalog.read_table("t_first_bk").count() == 8
+    spark.sql("DROP TABLE IF EXISTS local.t_first_bk")
