@@ -246,6 +246,116 @@ def _plane_to_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return quant.reshape(-1, 64)[:, ZIGZAG].reshape(h8 // 8, w8 // 8, 64)
 
 
+def _prepare_planes(
+    arr: np.ndarray, quality: int, subsampling: str, fname: str
+) -> tuple[int, int, bool, np.ndarray, np.ndarray, list[np.ndarray]]:
+    """Shared encoder front half: validate, pad to the MCU multiple
+    (edge-replicate), RGB->YCbCr, chroma decimation, quantized zigzag
+    blocks.  Every encoder (baseline / multiscan / progressive and their
+    arithmetic twins) goes through here, which is what makes their
+    decoded pixels identical at the same settings.
+
+    Returns ``(h, w, sub, ql, qc, comps_zz)`` — the true image dims for
+    the SOF header, the subsampling flag, the flat quant tables for DQT,
+    and one (nby, nbx, 64) zigzag array per component."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError(f"{fname} expects (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    ql, qc = _quality_tables(quality)
+    sub = subsampling == "420"
+    mcu_px = 16 if sub else 8
+    hp = (h + mcu_px - 1) // mcu_px * mcu_px
+    wp = (w + mcu_px - 1) // mcu_px * mcu_px
+    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
+    ycc = _rgb_to_ycbcr(padded)
+    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
+    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
+    for ci in (1, 2):
+        plane = ycc[..., ci]
+        if sub:
+            # 2x2 box average (the standard decimation filter)
+            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
+        comps_zz.append(_plane_to_zz(plane, qcm))
+    return h, w, sub, ql, qc, comps_zz
+
+
+def _frame_headers(
+    h: int,
+    w: int,
+    sub: bool,
+    ql: np.ndarray,
+    qc: np.ndarray,
+    sof_marker: int,
+    restart_interval: int = 0,
+    dht: tuple[tuple[int, list[int], list[int]], ...] = (),
+) -> bytearray:
+    """Shared encoder header block: SOI + APP0(JFIF) + DQT x2 +
+    SOFn(3 components, luma subsampled per ``sub``) + optional DHT
+    entries + DRI when ``restart_interval`` > 0.  Emission order matches
+    every decoder expectation (DHT between SOF and DRI)."""
+    y_samp = 0x22 if sub else 0x11
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0 JFIF: len 16 = 2 + "JFIF\0"(5) + version(2) + units(1) +
+    # density(2+2) + thumbnail w/h(1+1)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    for tid, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(x) for x in q.reshape(64)[ZIGZAG]
+        )
+    out += bytes((0xFF, sof_marker)) + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack("BBB", cid, samp, tq)
+    for tc_th, bits, vals in dht:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval > 0:  # DRI
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    return out
+
+
+def _true_block_grid(
+    w: int, h: int, hi: int, vi: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """(nbx, nby): a component's TRUE block grid — ceil of its sampled
+    dimensions over 8 (T.81 A.2; MCU padding blocks excluded).  The one
+    formula every non-interleaved scan walk (encode and decode, Huffman
+    and arithmetic) must agree on."""
+    bw = (w * hi + hmax - 1) // hmax
+    bh = (h * vi + vmax - 1) // vmax
+    return (bw + 7) // 8, (bh + 7) // 8
+
+
+def _scan_groups(plan: list[tuple], frame: dict) -> list[list[tuple]]:
+    """T.81 A.2 unit walk shared by every multi-scan decoder: ``plan``
+    rows are ``(ci, hi, vi, *extras)``; returns restart groups of
+    ``(ci, by, bx, *extras)`` — one block per group walking the
+    component's own grid for an ns==1 scan, one MCU per group (hi x vi
+    blocks of each scan component) for ns>1."""
+    if len(plan) == 1:
+        ci, hi, vi, *extra = plan[0]
+        nbx, nby = _true_block_grid(
+            frame["w"], frame["h"], hi, vi, frame["hmax"], frame["vmax"]
+        )
+        return [
+            [(ci, by, bx, *extra)] for by in range(nby) for bx in range(nbx)
+        ]
+    groups = []
+    for my in range(frame["mcuy"]):
+        for mx in range(frame["mcux"]):
+            g = []
+            for ci, hi, vi, *extra in plan:
+                for by in range(vi):
+                    for bx in range(hi):
+                        g.append((ci, my * vi + by, mx * hi + bx, *extra))
+            groups.append(g)
+    return groups
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
@@ -261,56 +371,18 @@ def encode_jpeg(
     emits a DRI segment and RSTn markers every that many MCUs (DC
     predictors reset) — what camera firmware writes for error
     resilience."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    h, w, c = arr.shape
-    if c != 3:
-        raise ValueError("encode_jpeg expects (h, w, 3) RGB")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
-    ql, qc = _quality_tables(quality)
-    sub = subsampling == "420"
-    mcu_px = 16 if sub else 8
-    # pad to MCU multiple (edge-replicate)
-    hp = (h + mcu_px - 1) // mcu_px * mcu_px
-    wp = (w + mcu_px - 1) // mcu_px * mcu_px
-    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
-    ycc = _rgb_to_ycbcr(padded)
-
-    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
-    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
-    for ci in (1, 2):
-        plane = ycc[..., ci]
-        if sub:
-            # 2x2 box average (the standard decimation filter)
-            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
-        comps_zz.append(_plane_to_zz(plane, qcm))
-
-    y_samp = 0x22 if sub else 0x11
-    out = bytearray(b"\xff\xd8")  # SOI
-    # APP0 JFIF: len 16 = 2 + "JFIF\0"(5) + version(2) + units(1) +
-    # density(2+2) + thumbnail w/h(1+1)
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HHBB", 1, 1, 0, 0
+    h, w, sub, ql, qc, comps_zz = _prepare_planes(
+        arr, quality, subsampling, "encode_jpeg"
     )
-    for tid, q in ((0, ql), (1, qc)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(x) for x in q.reshape(64)[ZIGZAG]
-        )
-    # SOF0: 3 components
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
-        out += struct.pack("BBB", cid, samp, tq)
-    # DHT x4
-    for tc_th, bits, vals in (
-        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
-        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
-        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
-        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
-    ):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
-        out += bytes(bits) + bytes(vals)
-    if restart_interval > 0:  # DRI
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out = _frame_headers(
+        h, w, sub, ql, qc, 0xC0, restart_interval,
+        dht=(
+            (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+            (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ),
+    )
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
@@ -374,51 +446,18 @@ def encode_jpeg_multiscan(
     ``restart_interval`` counts units within the scan (RST index resets
     per scan).  Exists to exercise :func:`_baseline_scan`; pixel output
     is bit-identical to :func:`encode_jpeg` at the same settings."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    h, w, c = arr.shape
-    if c != 3:
-        raise ValueError("encode_jpeg_multiscan expects (h, w, 3) RGB")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
-    ql, qc = _quality_tables(quality)
-    sub = subsampling == "420"
-    mcu_px = 16 if sub else 8
-    hp = (h + mcu_px - 1) // mcu_px * mcu_px
-    wp = (w + mcu_px - 1) // mcu_px * mcu_px
-    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
-    ycc = _rgb_to_ycbcr(padded)
-
-    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
-    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
-    for ci in (1, 2):
-        plane = ycc[..., ci]
-        if sub:
-            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
-        comps_zz.append(_plane_to_zz(plane, qcm))
-
-    y_samp = 0x22 if sub else 0x11
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HHBB", 1, 1, 0, 0
+    h, w, sub, ql, qc, comps_zz = _prepare_planes(
+        arr, quality, subsampling, "encode_jpeg_multiscan"
     )
-    for tid, q in ((0, ql), (1, qc)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(x) for x in q.reshape(64)[ZIGZAG]
-        )
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
-        out += struct.pack("BBB", cid, samp, tq)
-    for tc_th, bits, vals in (
-        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
-        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
-        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
-        (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
-    ):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
-        out += bytes(bits) + bytes(vals)
-    if restart_interval > 0:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-
+    out = _frame_headers(
+        h, w, sub, ql, qc, 0xC0, restart_interval,
+        dht=(
+            (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+            (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ),
+    )
     dc_l = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)
     dc_c = _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -431,9 +470,7 @@ def encode_jpeg_multiscan(
         out += struct.pack("BB", cid, tdta)
         out += b"\x00\x3f\x00"
         hi, vi = samps[ci]
-        # the component's TRUE block grid (encoder padding excluded)
-        nbx = ((w * hi + hmax - 1) // hmax + 7) // 8
-        nby = ((h * vi + vmax - 1) // vmax + 7) // 8
+        nbx, nby = _true_block_grid(w, h, hi, vi, hmax, vmax)
         writer = _BitWriter()
         prev = 0
         rst = 0
@@ -971,25 +1008,7 @@ def _baseline_scan(
         if dlut is None or alut is None:
             raise ValueError("missing Huffman table")
         plan.append((ci, his[ci], vis[ci], dlut, alut))
-    if len(plan) == 1:
-        # non-interleaved: the component's true block grid
-        ci, hi, vi, dlut, alut = plan[0]
-        bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
-        bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
-        nbx, nby = (bw + 7) // 8, (bh + 7) // 8
-        groups = [
-            [(ci, by, bx, dlut, alut)] for by in range(nby) for bx in range(nbx)
-        ]
-    else:
-        groups = []
-        for my in range(frame["mcuy"]):
-            for mx in range(frame["mcux"]):
-                g = []
-                for ci, hi, vi, dlut, alut in plan:
-                    for by in range(vi):
-                        for bx in range(hi):
-                            g.append((ci, my * vi + by, mx * hi + bx, dlut, alut))
-                groups.append(g)
+    groups = _scan_groups(plan, frame)
     prev = [0] * len(planes)
     gi = 0
     while gi < len(groups):
@@ -1050,23 +1069,7 @@ def _progressive_scan(
         ]
         if ah == 0 and any(t is None for _, _, _, t in plan):
             raise ValueError("missing DC Huffman table")
-        mcux, mcuy = frame["mcux"], frame["mcuy"]
-        if len(scan_comps) == 1:
-            # non-interleaved single-component DC scan walks the comp's
-            # own block grid (no MCU padding blocks)
-            ci, hi, vi, dlut = plan[0]
-            bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
-            bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
-            nbx, nby = (bw + 7) // 8, (bh + 7) // 8
-            units = [(ci, by, bx, dlut) for by in range(nby) for bx in range(nbx)]
-        else:
-            units = []
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    for ci, hi, vi, dlut in plan:
-                        for by in range(vi):
-                            for bx in range(hi):
-                                units.append((ci, my * vi + by, mx * hi + bx, dlut))
+        units = [u for g in _scan_groups(plan, frame) for u in g]
         prev = [0] * len(planes)
         # group units per MCU/block for restart retry semantics
         ui = 0
@@ -1096,9 +1099,9 @@ def _progressive_scan(
     if alut is None:
         raise ValueError("missing AC Huffman table")
     hi, vi = his[ci], vis[ci]
-    bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
-    bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
-    nbx, nby = (bw + 7) // 8, (bh + 7) // 8
+    nbx, nby = _true_block_grid(
+        frame["w"], frame["h"], hi, vi, frame["hmax"], frame["vmax"]
+    )
     rows = planes[ci]
     eobrun = 0
     m1 = -p1
@@ -1337,47 +1340,17 @@ def encode_jpeg_progressive(
       5. AC  per comp    Ss=1..63  Ah=2 Al=1   (refinement)
       6. AC  per comp    Ss=1..63  Ah=1 Al=0   (refinement)
     """
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    h, w, c = arr.shape
-    if c != 3:
-        raise ValueError("encode_jpeg_progressive expects (h, w, 3) RGB")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
-    ql, qc = _quality_tables(quality)
-    sub = subsampling == "420"
-    mcu_px = 16 if sub else 8
-    hp = (h + mcu_px - 1) // mcu_px * mcu_px
-    wp = (w + mcu_px - 1) // mcu_px * mcu_px
-    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
-    ycc = _rgb_to_ycbcr(padded)
-    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
-    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
-    for ci in (1, 2):
-        plane = ycc[..., ci]
-        if sub:
-            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
-        comps_zz.append(_plane_to_zz(plane, qcm))
-
-    y_samp = 0x22 if sub else 0x11
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HHBB", 1, 1, 0, 0
+    h, w, sub, ql, qc, comps_zz = _prepare_planes(
+        arr, quality, subsampling, "encode_jpeg_progressive"
     )
-    for tid, q in ((0, ql), (1, qc)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(x) for x in q.reshape(64)[ZIGZAG]
-        )
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
-    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
-        out += struct.pack("BBB", cid, samp, tq)
-    for tc_th, bits, vals in (
-        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
-        (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
-        (0x12, AC_PROG_BITS, AC_PROG_VALS),  # shared progressive AC table
-    ):
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
-        out += bytes(bits) + bytes(vals)
-
+    out = _frame_headers(
+        h, w, sub, ql, qc, 0xC2,
+        dht=(
+            (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x12, AC_PROG_BITS, AC_PROG_VALS),  # shared progressive AC table
+        ),
+    )
     dc_l = _huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     dc_c = _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
     ac_p = _huff_codes(AC_PROG_BITS, AC_PROG_VALS)
@@ -1418,11 +1391,11 @@ def encode_jpeg_progressive(
     # scans 3-6: AC bands per component.  Non-interleaved scans cover
     # ONLY ceil(comp_dim/8) blocks (A.2.2) — the MCU-padding row/column
     # of the 4:2:0 luma grid is NOT coded, exactly as the decoder walks.
+    hvmax = 2 if sub else 1
     samp_grid = []
     for ci, (shi, svi) in enumerate(sampling):
-        cw = (w * shi + (2 if sub else 1) - 1) // (2 if sub else 1)
-        ch = (h * svi + (2 if sub else 1) - 1) // (2 if sub else 1)
-        samp_grid.append(((ch + 7) // 8, (cw + 7) // 8))
+        gx, gy = _true_block_grid(w, h, shi, svi, hvmax, hvmax)
+        samp_grid.append((gy, gx))
     for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)):
         for ci in range(3):
             cid = ci + 1

@@ -43,6 +43,9 @@ import struct
 
 import numpy as np
 
+# no cycle: jpeg.py only imports this module lazily inside decode_jpeg
+from .jpeg import _scan_groups, _true_block_grid
+
 # --- Table D.3: Qe value and probability estimation state machine -----------
 # (qe, next_mps, next_lps, switch); index 113 is the fixed ~0.5 bin used
 # for AC sign decisions (never adapts).
@@ -584,22 +587,7 @@ def decode_arith_scan(
     for cid, td, ta in scan_comps:
         ci = comp_index[cid]
         plan.append((ci, his[ci], vis[ci], td, ta))
-    if len(plan) == 1:
-        ci, hi, vi, td, ta = plan[0]
-        bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
-        bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
-        nbx, nby = (bw + 7) // 8, (bh + 7) // 8
-        groups = [[(ci, by, bx, td, ta)] for by in range(nby) for bx in range(nbx)]
-    else:
-        groups = []
-        for my in range(frame["mcuy"]):
-            for mx in range(frame["mcux"]):
-                g = []
-                for ci, hi, vi, td, ta in plan:
-                    for by in range(vi):
-                        for bx in range(hi):
-                            g.append((ci, my * vi + by, mx * hi + bx, td, ta))
-                groups.append(g)
+    groups = _scan_groups(plan, frame)
 
     segs = _split_restarts(scan) if restart_interval else [scan]
     stats = _ScanStats(
@@ -664,22 +652,7 @@ def decode_arith_progressive_scan(
             (comp_index[cid], his[comp_index[cid]], vis[comp_index[cid]], td)
             for cid, td, _ in scan_comps
         ]
-        if len(plan) == 1:
-            ci, hi, vi, td = plan[0]
-            bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
-            bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
-            nbx, nby = (bw + 7) // 8, (bh + 7) // 8
-            groups = [[(ci, by, bx, td)] for by in range(nby) for bx in range(nbx)]
-        else:
-            groups = []
-            for my in range(frame["mcuy"]):
-                for mx in range(frame["mcux"]):
-                    g = []
-                    for ci, hi, vi, td in plan:
-                        for by in range(vi):
-                            for bx in range(hi):
-                                g.append((ci, my * vi + by, mx * hi + bx, td))
-                    groups.append(g)
+        groups = _scan_groups(plan, frame)
         stats = _ScanStats(len(planes), [td for *_, td in plan], [])
         seg_i = 0
         dec = _ArithDecoder(_ArithBitSrc(segs[0]))
@@ -705,9 +678,9 @@ def decode_arith_progressive_scan(
     cid, _, ta = scan_comps[0]
     ci = comp_index[cid]
     hi, vi = his[ci], vis[ci]
-    bw = (frame["w"] * hi + frame["hmax"] - 1) // frame["hmax"]
-    bh = (frame["h"] * vi + frame["vmax"] - 1) // frame["vmax"]
-    nbx, nby = (bw + 7) // 8, (bh + 7) // 8
+    nbx, nby = _true_block_grid(
+        frame["w"], frame["h"], hi, vi, frame["hmax"], frame["vmax"]
+    )
     rows = planes[ci]
     kx = ac_cond.get(ta, 5)
     stats = _ScanStats(1, [], [ta])
@@ -744,43 +717,12 @@ def encode_jpeg_arith(
     the entropy layer differs: no DHT segments, QM-coded scan, optional
     DRI/RSTn with per-restart statistics reset.  Default T.81
     conditioning (DC (0,1), AC Kx=5), so no DAC segment is emitted."""
-    from .jpeg import ZIGZAG, _plane_to_zz, _quality_tables, _rgb_to_ycbcr
+    from .jpeg import _frame_headers, _prepare_planes
 
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    h, w, c = arr.shape
-    if c != 3:
-        raise ValueError("encode_jpeg_arith expects (h, w, 3) RGB")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
-    ql, qc = _quality_tables(quality)
-    sub = subsampling == "420"
-    mcu_px = 16 if sub else 8
-    hp = (h + mcu_px - 1) // mcu_px * mcu_px
-    wp = (w + mcu_px - 1) // mcu_px * mcu_px
-    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
-    ycc = _rgb_to_ycbcr(padded)
-    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
-    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
-    for ci in (1, 2):
-        plane = ycc[..., ci]
-        if sub:
-            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
-        comps_zz.append(_plane_to_zz(plane, qcm))
-
-    y_samp = 0x22 if sub else 0x11
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HHBB", 1, 1, 0, 0
+    h, w, sub, ql, qc, comps_zz = _prepare_planes(
+        arr, quality, subsampling, "encode_jpeg_arith"
     )
-    for tid, q in ((0, ql), (1, qc)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(x) for x in q.reshape(64)[ZIGZAG]
-        )
-    out += b"\xff\xc9" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF9
-    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
-        out += struct.pack("BBB", cid, samp, tq)
-    if restart_interval > 0:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out = _frame_headers(h, w, sub, ql, qc, 0xC9, restart_interval)  # SOF9
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += struct.pack("BB", cid, tdta)
@@ -835,43 +777,12 @@ def encode_jpeg_arith_multiscan(
     the scan, statistics reset per scan).  Coefficients match
     ``jpeg.encode_jpeg`` at the same settings, so decodes are
     pixel-identical."""
-    from .jpeg import ZIGZAG, _plane_to_zz, _quality_tables, _rgb_to_ycbcr
+    from .jpeg import _frame_headers, _prepare_planes
 
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    h, w, c = arr.shape
-    if c != 3:
-        raise ValueError("encode_jpeg_arith_multiscan expects (h, w, 3) RGB")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
-    ql, qc = _quality_tables(quality)
-    sub = subsampling == "420"
-    mcu_px = 16 if sub else 8
-    hp = (h + mcu_px - 1) // mcu_px * mcu_px
-    wp = (w + mcu_px - 1) // mcu_px * mcu_px
-    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
-    ycc = _rgb_to_ycbcr(padded)
-    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
-    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
-    for ci in (1, 2):
-        plane = ycc[..., ci]
-        if sub:
-            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
-        comps_zz.append(_plane_to_zz(plane, qcm))
-
-    y_samp = 0x22 if sub else 0x11
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HHBB", 1, 1, 0, 0
+    h, w, sub, ql, qc, comps_zz = _prepare_planes(
+        arr, quality, subsampling, "encode_jpeg_arith_multiscan"
     )
-    for tid, q in ((0, ql), (1, qc)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(x) for x in q.reshape(64)[ZIGZAG]
-        )
-    out += b"\xff\xc9" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
-        out += struct.pack("BBB", cid, samp, tq)
-    if restart_interval > 0:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out = _frame_headers(h, w, sub, ql, qc, 0xC9, restart_interval)  # SOF9
 
     hmax, vmax = (2, 2) if sub else (1, 1)
     samps = [(hmax, vmax), (1, 1), (1, 1)]
@@ -881,9 +792,7 @@ def encode_jpeg_arith_multiscan(
         out += b"\x00\x3f\x00"
         zz = comps_zz[comp_i]
         hi, vi = samps[comp_i]
-        # the component's TRUE block grid (encoder padding excluded)
-        nbx = ((w * hi + hmax - 1) // hmax + 7) // 8
-        nby = ((h * vi + vmax - 1) // vmax + 7) // 8
+        nbx, nby = _true_block_grid(w, h, hi, vi, hmax, vmax)
         stats = _ScanStats(1, [tbl], [tbl])
         enc = _ArithEncoder()
         rst = 0
@@ -922,43 +831,12 @@ def encode_jpeg_arith_progressive(
     refinement levels — so every Annex G decision procedure is
     exercised.  ``restart_interval`` > 0 emits DRI/RSTn with per-restart
     statistics reset (MCUs in the DC scans, blocks in the AC scans)."""
-    from .jpeg import ZIGZAG, _plane_to_zz, _quality_tables, _rgb_to_ycbcr
+    from .jpeg import _frame_headers, _prepare_planes
 
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    h, w, c = arr.shape
-    if c != 3:
-        raise ValueError("encode_jpeg_arith_progressive expects (h, w, 3) RGB")
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
-    ql, qc = _quality_tables(quality)
-    sub = subsampling == "420"
-    mcu_px = 16 if sub else 8
-    hp = (h + mcu_px - 1) // mcu_px * mcu_px
-    wp = (w + mcu_px - 1) // mcu_px * mcu_px
-    padded = np.pad(arr, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
-    ycc = _rgb_to_ycbcr(padded)
-    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
-    comps_zz = [_plane_to_zz(ycc[..., 0], qlm)]
-    for ci in (1, 2):
-        plane = ycc[..., ci]
-        if sub:
-            plane = plane.reshape(hp // 2, 2, wp // 2, 2).mean(axis=(1, 3))
-        comps_zz.append(_plane_to_zz(plane, qcm))
-
-    y_samp = 0x22 if sub else 0x11
-    out = bytearray(b"\xff\xd8")
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HHBB", 1, 1, 0, 0
+    h, w, sub, ql, qc, comps_zz = _prepare_planes(
+        arr, quality, subsampling, "encode_jpeg_arith_progressive"
     )
-    for tid, q in ((0, ql), (1, qc)):
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
-            int(x) for x in q.reshape(64)[ZIGZAG]
-        )
-    out += b"\xff\xca" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF10
-    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1), (3, 0x11, 1)):
-        out += struct.pack("BBB", cid, samp, tq)
-    if restart_interval > 0:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out = _frame_headers(h, w, sub, ql, qc, 0xCA, restart_interval)  # SOF10
 
     def sos(scomps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
         hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
@@ -1022,12 +900,11 @@ def encode_jpeg_arith_progressive(
     out += enc.flush()
     # scans 3-6: AC bands per component over the component's TRUE block
     # grid (A.2.2 — MCU padding blocks are not coded)
-    hmax = vmax = 2 if sub else 1
+    hvmax = 2 if sub else 1
     samp_grid = []
     for ci, (shi, svi) in enumerate(sampling):
-        cw = (w * shi + hmax - 1) // hmax
-        ch = (h * svi + vmax - 1) // vmax
-        samp_grid.append(((ch + 7) // 8, (cw + 7) // 8))
+        gx, gy = _true_block_grid(w, h, shi, svi, hvmax, hvmax)
+        samp_grid.append((gy, gx))
     for ss, se, ah, al in ((1, 5, 0, 2), (6, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0)):
         for ci in range(3):
             ta = ac_tbls[ci]
