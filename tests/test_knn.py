@@ -263,3 +263,28 @@ def test_escalation_auto_gate_opens_for_small_layer(spark, images):
     got = _rows(knn_grid(images, cen, TESTDATA_BOX, k=3, res=9, disk=1))
     want = _rows(knn_bruteforce(images, cen, TESTDATA_BOX, k=3))
     assert got == want and len(got) == 300 * 3
+
+
+def test_escalation_levels_compute_each_heavy_map_once(spark, images):
+    """Each escalation level's candidates map (a collect_list over the
+    (2*outer+1)^2 centroid explode) must appear in the physical plan
+    exactly once.  The level-i map previously ALSO fed level i+1's
+    frontier filter, and Spark has no cross-subplan aggregate reuse
+    (measured: zero ReusedExchange), so every heavy explode ran twice;
+    the filter now reads a list-free counts-only lineage instead."""
+    from rosreestr_xml_to_gis_converter_spark.plans import plan_checks
+    from rosreestr_xml_to_gis_converter_spark.queries_engine import SPARSE_CENTROIDS
+
+    cen = spark.createDataFrame(
+        pd.DataFrame(SPARSE_CENTROIDS, columns=["cad_number", "clon", "clat"])
+    )
+    df = knn_grid(
+        images, cen, TESTDATA_BOX, k=3, res=9, disk=1,
+        escalate=(2, 4), layer_fallback=False,
+    )
+    pc = plan_checks(df, execute=True)
+    # 3 levels -> exactly 3 partial collect_list aggregations (one per
+    # broadcast map); a recomputing plan shows 5 (base is filter-fed
+    # twice at two ladder steps)
+    n_heavy = pc.final.count("partial_collect_list")
+    assert n_heavy == 3, f"expected 3 collect_list maps, plan has {n_heavy}"
