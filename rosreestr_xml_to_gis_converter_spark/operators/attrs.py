@@ -794,10 +794,12 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
             "enc_name_reg_numb_date_duration": F.when(egrn, egrn_k).otherwise(kvzu_k),
         }
     )
-    # drop exactly the temps staged above — a prefix scan would also eat
-    # any caller column that happens to start with "_w_"
-    return out.drop(
-        "_w_rights", "_w_encs", "_w_modern_names", "_w_modern_enc",
-        "_w_keyed", "_w_gkn_keyed", "_w_obrem_str", "_w_arend_modern",
-        "_w_new_arend", "_w_kvzu_k_modern",
-    )
+    # drop the temps staged above and only them: a bare prefix scan would
+    # also eat a caller column that happens to start with "_w_", while a
+    # literal name list silently leaks any future temp — so drop the
+    # "_w_" columns that were NOT in the input
+    staged = [
+        c for c in out.columns
+        if c.startswith("_w_") and c not in parcels.columns
+    ]
+    return out.drop(*staged)

@@ -213,15 +213,18 @@ def knn_grid(
     )
 
 
-def _cen_cells(centroids: DataFrame, res: int, outer: int, inner: int) -> DataFrame:
-    """Centroids exploded over the (2*outer+1)^2 neighbor offsets ->
-    one row per covered cell: ``_cands`` (all candidates within Chebyshev
-    ``outer``) + ``_cnt`` (how many lie within ``inner``).  grid_disk as
-    relational algebra: decompose the centroid cell, shift, re-pack —
-    all Column arithmetic, offsets from ``sequence()`` (no literal-array
-    blowup at large disks)."""
+def _exploded_cells(centroids: DataFrame, res: int, outer: int) -> DataFrame:
+    """grid_disk as relational algebra: each centroid exploded over the
+    (2*outer+1)^2 neighbor offsets -> one row per (covered cell,
+    centroid), with ``_dx``/``_dy`` kept for inner-ring tests.  Decompose
+    the centroid cell, shift, bounds-clamp, re-pack — all Column
+    arithmetic, offsets from ``sequence()`` (no literal-array blowup at
+    large disks).  The ONE place the cell bit-packing formula lives on
+    the centroid side: both the candidates maps and the counts-only
+    frontier filter aggregate this lineage, so their join keys can never
+    drift apart."""
     n_minus_1 = (1 << res) - 1
-    cen = (
+    return (
         centroids.withColumn("_c", cell_col(F.col("clat"), F.col("clon"), res))
         .withColumn("_ix", F.shiftright(F.col("_c"), _IX_SHIFT).bitwiseAND(F.lit(_IDX_MASK)))
         .withColumn("_iy", F.col("_c").bitwiseAND(F.lit(_IDX_MASK)))
@@ -241,10 +244,16 @@ def _cen_cells(centroids: DataFrame, res: int, outer: int, inner: int) -> DataFr
             + F.col("_nx") * F.lit(1 << _IX_SHIFT).cast("long")
             + F.col("_ny"),
         )
-        .withColumn(
-            "_in",
-            ((F.abs(F.col("_dx")) <= inner) & (F.abs(F.col("_dy")) <= inner)).cast("int"),
-        )
+    )
+
+
+def _cen_cells(centroids: DataFrame, res: int, outer: int, inner: int) -> DataFrame:
+    """Centroids exploded over the (2*outer+1)^2 neighbor offsets ->
+    one row per covered cell: ``_cands`` (all candidates within Chebyshev
+    ``outer``) + ``_cnt`` (how many lie within ``inner``)."""
+    cen = _exploded_cells(centroids, res, outer).withColumn(
+        "_in",
+        ((F.abs(F.col("_dx")) <= inner) & (F.abs(F.col("_dy")) <= inner)).cast("int"),
     )
     return cen.groupBy("cell").agg(
         F.collect_list(F.struct("clon", "clat", "cad_number")).alias("_cands"),
@@ -259,29 +268,11 @@ def _cen_counts(centroids: DataFrame, res: int, d: int) -> DataFrame:
     aggregation across subplans (measured: zero ReusedExchange), so a
     dedicated counts lineage keeps each heavy collect_list map computed
     exactly once and the filter side list-free."""
-    n_minus_1 = (1 << res) - 1
-    cen = (
-        centroids.withColumn("_c", cell_col(F.col("clat"), F.col("clon"), res))
-        .withColumn("_ix", F.shiftright(F.col("_c"), _IX_SHIFT).bitwiseAND(F.lit(_IDX_MASK)))
-        .withColumn("_iy", F.col("_c").bitwiseAND(F.lit(_IDX_MASK)))
-        .withColumn("_dx", F.explode(F.sequence(F.lit(-d), F.lit(d))))
-        .withColumn("_dy", F.explode(F.sequence(F.lit(-d), F.lit(d))))
-        .withColumn("_nx", F.col("_ix") + F.col("_dx"))
-        .withColumn("_ny", F.col("_iy") + F.col("_dy"))
-        .filter(
-            (F.col("_nx") >= 0)
-            & (F.col("_nx") <= n_minus_1)
-            & (F.col("_ny") >= 0)
-            & (F.col("_ny") <= n_minus_1)
-        )
-        .withColumn(
-            "cell",
-            F.lit(res).cast("long") * F.lit(1 << _RES_SHIFT).cast("long")
-            + F.col("_nx") * F.lit(1 << _IX_SHIFT).cast("long")
-            + F.col("_ny"),
-        )
+    return (
+        _exploded_cells(centroids, res, d)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_pc"))
     )
-    return cen.groupBy("cell").agg(F.count(F.lit(1)).alias("_pc"))
 
 
 def _knn_grid_join(

@@ -102,23 +102,31 @@ class Catalog:
             # vs the parquet branch's n tuple-hash buckets — co-location
             # holds either way, and identity-partitioning the extra
             # columns, which would explode on high-cardinality keys, is
-            # exactly what this avoids.)  sort_cols become a within-task
-            # sort so data files are written in key order, mirroring the
-            # parquet branch's sortBy file order.  Exercised by the
-            # guarded tests/test_iceberg_optional.py when the runtime
-            # jar is on the classpath.
+            # exactly what this avoids.)  sort_cols become the TABLE sort
+            # order (WRITE ORDERED BY) before the data lands: Iceberg's
+            # writer plans its own distribution+ordering from the table
+            # sort order, so a client-side sortWithinPartitions would be
+            # re-sorted away — the DDL order is the one that actually
+            # reaches the data files, mirroring the parquet branch's
+            # sortBy.  Exercised by the guarded
+            # tests/test_iceberg_optional.py when the runtime jar is on
+            # the classpath.
             from pyspark.sql.functions import bucket, col
 
-            if sort_cols:
-                df = df.sortWithinPartitions(*sort_cols)
-            writer = df.writeTo(f"local.{table}").partitionedBy(
+            name = f"local.{table}"
+            parts = [
                 bucket(n_buckets, col(bucket_cols[0])),
                 *[bucket(n_buckets, col(c)) for c in bucket_cols[1:]],
-            )
-            if mode == "append" and self.exists(table):
-                writer.append()
-            else:
-                writer.createOrReplace()
+            ]
+            if mode != "append" or not self.exists(table):
+                # (re)create EMPTY with spec + sort order, then append
+                df.limit(0).writeTo(name).partitionedBy(*parts).createOrReplace()
+                if sort_cols:
+                    self.spark.sql(
+                        f"ALTER TABLE {name} WRITE ORDERED BY"
+                        f" ({', '.join(sort_cols)})"
+                    )
+            df.writeTo(name).append()
             return
         w = (
             df.write.mode(mode)

@@ -88,7 +88,10 @@ def test_iceberg_multicol_bucket_and_sort(ice_catalog, spark):
     """Multi-column bucketing must bucket EVERY key column (per-column
     bucket transforms, n^k partitions) — never identity-partition the
     tail columns, which explodes on high-cardinality keys — and
-    sort_cols must not be silently dropped."""
+    sort_cols must land as the table sort order APPLIED to the written
+    files (a client-side sortWithinPartitions is re-sorted away by
+    Iceberg's own write distribution+ordering, so file-level evidence is
+    the only honest check)."""
     from pyspark.sql import functions as F
 
     df = spark.range(200).select(
@@ -103,6 +106,11 @@ def test_iceberg_multicol_bucket_and_sort(ice_catalog, spark):
     spec = spark.sql("DESCRIBE EXTENDED local.t_bk2").toPandas().to_string()
     assert "bucket(4, cell)" in spec
     assert "bucket(4, other)" in spec
+    # every data file was written under a non-default sort order
+    files = spark.sql(
+        "SELECT sort_order_id FROM local.t_bk2.files"
+    ).toPandas()
+    assert len(files) > 0 and (files["sort_order_id"] != 0).all()
 
 
 def test_iceberg_append_creates_missing_table(ice_catalog, spark):
