@@ -62,10 +62,37 @@ def _skewed_images(img):
     return img.withColumn("phash", F.when(pick, hot).otherwise(F.col("phash")))
 
 
+def _wait_for_quiet(max_wait_s: int = 90) -> None:
+    """Best-effort quiet gate: co-tenant steal on this VM comes in
+    multi-minute bursts that inflate every query 1.5-2x (measured: the
+    same tree benched 14.8-16.5 s under a burst vs 8.8 s quiet, with an
+    isolated warm probe confirming the engine unchanged).  Poll
+    /proc/stat for a 10 s window with <3%% non-idle before starting;
+    give up after ``max_wait_s`` and run anyway so the driver never
+    stalls.  Linux-only; silently skipped elsewhere."""
+    deadline = time.time() + max_wait_s
+    try:
+        def snap():
+            parts = open("/proc/stat").readline().split()[1:]
+            vals = list(map(int, parts))
+            return sum(vals), vals[3]  # total, idle
+
+        while time.time() < deadline:
+            t1, i1 = snap()
+            time.sleep(10)
+            t2, i2 = snap()
+            busy = (t2 - t1) - (i2 - i1)
+            if t2 > t1 and busy / (t2 - t1) < 0.03:
+                return
+    except OSError:
+        return
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    _wait_for_quiet()
 
     spark = get_spark(
         "bench",
