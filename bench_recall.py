@@ -80,6 +80,22 @@ def main() -> None:
                 }
             )
             print(json.dumps(rows[-1]), file=sys.stderr)
+        # OR-amplified multi-table curve (round-5: the ordinary-neighbor
+        # configuration; n_tables=1 above is the near-exact-dup gate path)
+        for n_planes, n_tables in ((8, 8), (8, 16), (6, 8), (6, 16)):
+            t0 = time.time()
+            ann = similarity.lsh_topk(
+                emb, q, k=k, n_planes=n_planes, dim=64, n_tables=n_tables
+            )
+            r = recall_at_k(ann.select("query_id", "cand_id"), truth, nq, k)
+            rows.append(
+                {
+                    "algo": "lsh", "n": n, "n_planes": n_planes,
+                    "n_tables": n_tables,
+                    "recall_at_k": round(r, 4), "secs": round(time.time() - t0, 2),
+                }
+            )
+            print(json.dumps(rows[-1]), file=sys.stderr)
         for n_cells in (16, 64):
             cents = similarity.ivf_centroids(emb, n_cells=n_cells, seed=7, max_iter=5)
             for nprobe in (1, 2, 4, 8):

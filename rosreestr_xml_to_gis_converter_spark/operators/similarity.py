@@ -99,32 +99,57 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k: candidates share the full sign signature OR any of
-    ``n_planes`` one-bit-flipped variants (multi-probe), then exact
-    re-rank.  Scale path: the bucket join is an equi-join on ``sig``.
+    ``n_planes`` one-bit-flipped variants (multi-probe) in ANY of
+    ``n_tables`` independent hash tables (classic E2LSH
+    OR-amplification: per-table recall p becomes 1-(1-p)^L), then exact
+    re-rank.  Scale path: the bucket join stays a single equi-join on
+    (table, sig); the embedding side carries L rows per vector — the
+    production layout is the signature table bucketed by (tbl, sig),
+    written once, reused per query batch.  ``n_tables=1`` (default) is
+    the near-exact-duplicate configuration the planted gate proves;
+    raise it (8-16) for ordinary ~0.9-cosine neighbors, where a single
+    12-plane table's bucket collision probability collapses (recall
+    curve in BASELINE.md).
 
     Pass ``dim`` explicitly on large tables — the fallback probes one row
     driver-side to learn it."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
-    planes = _planes(seed, n_planes, dim)
+    tables = [_planes(seed + 7919 * t, n_planes, dim) for t in range(n_tables)]
     e = emb.select(
         F.col(id_col).alias("cand_id"),
         _quantized(F.col(vec_col)).alias("qv"),
-        lsh_signature(F.col(vec_col), planes).alias("sig"),
+        F.posexplode(
+            F.array(*[lsh_signature(F.col(vec_col), p) for p in tables])
+        ).alias("tbl", "sig"),
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _quantized(F.col(vec_col)).alias("qqv"),
-        lsh_signature(F.col(vec_col), planes).alias("qsig"),
+        *[
+            lsh_signature(F.col(vec_col), p).alias(f"_qs{t}")
+            for t, p in enumerate(tables)
+        ],
     ).withColumn("qqn", _dot(F.col("qqv"), F.col("qqv")))
-    # multi-probe: query probes its own bucket plus all 1-bit flips
-    probes = F.explode(
-        F.array(F.col("qsig"), *[F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+    # multi-probe: each table's own bucket plus all its 1-bit flips
+    probe_structs = []
+    for t in range(n_tables):
+        qs = F.col(f"_qs{t}")
+        for s in (qs, *[qs.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]):
+            probe_structs.append(F.struct(F.lit(t).alias("tbl"), s.alias("sig")))
+    qp = q.select(
+        "query_id", "qqv", "qqn",
+        F.explode(F.array(*probe_structs)).alias("_p"),
+    ).select(
+        "query_id", "qqv", "qqn",
+        F.col("_p.tbl").alias("tbl"), F.col("_p.sig").alias("sig"),
     )
-    qp = q.select("query_id", "qqv", "qqn", probes.alias("sig"))
-    pairs = e.join(F.broadcast(qp), "sig").filter(F.col("cand_id") != F.col("query_id"))
+    pairs = e.join(F.broadcast(qp), ["tbl", "sig"]).filter(
+        F.col("cand_id") != F.col("query_id")
+    )
     cos = _dot(F.col("qv"), F.col("qqv")) / F.sqrt(F.col("qn") * F.col("qqn"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
     return (

@@ -156,6 +156,46 @@ def test_lsh_topk_finds_true_high_similarity_neighbors(spark, emb):
             assert bm[r.query_id] == r.cand_id
 
 
+def test_lsh_topk_multi_table_lifts_ordinary_neighbor_recall(spark):
+    """OR-amplified multi-table LSH (n_tables=L) must make ~0.9-cosine
+    cluster neighbors findable: a single 12-plane table's recall@10 on
+    this corpus is ~0.03 (the documented near-exact-dup-only behavior);
+    8 tables of 6 planes measured 0.91 and 16 tables 1.00 — assert a
+    conservative 0.75 floor on the seeded corpus, and that n_tables
+    leaves planted-twin exactness intact."""
+    rng = np.random.default_rng(42)
+    dim, n, nq, k = 64, 4000, 16, 10
+    centers = rng.standard_normal((32, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = centers[rng.integers(0, 32, n)] + 0.25 * rng.standard_normal((n, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(n)]
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb2.filter(F.col("vec_id") < nq)
+    truth = cosine_topk(emb2, queries, k=k).toPandas()
+    tset = set(zip(truth.query_id, truth.cand_id))
+    got = lsh_topk(
+        emb2, queries, k=k, n_planes=6, dim=dim, n_tables=8
+    ).toPandas()
+    hits = sum((q, c) in tset for q, c in zip(got.query_id, got.cand_id))
+    assert hits / len(tset) >= 0.75, hits / len(tset)
+
+
+def test_lsh_topk_multi_table_keeps_planted_twins_exact(spark, emb):
+    """The near-exact-dup contract must survive OR-amplification: with
+    n_tables=4 every planted cosine~0.998 twin still lands at rank 1
+    and matches brute force."""
+    planted_ids = list(range(6, 120, 6))
+    queries = emb.filter(F.col("vec_id").isin(planted_ids))
+    got = lsh_topk(emb, queries, k=1, n_planes=10, n_tables=4).toPandas()
+    hits = sum(
+        1
+        for _, r in got.iterrows()
+        if r["rank"] == 1 and r.cand_id == r.query_id - 1
+    )
+    assert hits / len(planted_ids) >= 0.9, hits
+
+
 def test_embedding_near_dup_pairs_find_planted(spark, emb):
     out = embedding_near_dup_pairs(emb, threshold=0.95, n_planes=8).toPandas()
     planted = {(i - 1, i) for i in range(6, 120, 6)}
