@@ -20,11 +20,14 @@ rewrites and the round-5 GKN blank-owner fix) and rotates in the new
 knn_escalated gate (birth round; the bounded-iterative-disk-escalation
 path with the whole-layer fallback gated off) plus dedup_cluster_planted
 (birth round; connected-components near-dup clustering over a planted
-chain corpus vs a recursive-CTE transitive-closure oracle).  Demoted in
-exchange: j1_classifier_join, g1_segmentation, g2_shoelace,
-g3_orientation, cell_encode, text_fingerprint — classifiers.py /
-functions/geometry.py / index/grid.py / operators/textops.py are
-untouched in rounds 4-5 and each has green driver rows in r1-r4.
+chain corpus vs a recursive-CTE transitive-closure oracle), plus — late
+round 5 — cell_rollup (birth round) and stream_neardup_matches (birth
+round; the stream-static near-dup join's batch twin over planted
+twins).  Demoted in exchange: j1_classifier_join, g1_segmentation,
+g2_shoelace, g3_orientation, cell_encode, text_fingerprint,
+text_tokens, text_quality — classifiers.py / functions/geometry.py /
+index/grid.py / operators/textops.py are untouched in rounds 4-5 and
+each has green driver rows in r1-r4.
 Rows-only organic variants whose recall evidence is carried by
 planted-oracle twins were removed from the registry entirely (round-3
 VERDICT next-round #8) — the operators remain in the package and in
@@ -108,6 +111,11 @@ _TAIL = [
     # grid primitive that had no oracle query); same grounds as
     # text_fingerprint
     "text_tokens",                     # operators/textops.py untouched; green r01-r04
+    # demoted late round 5 to admit stream_neardup_matches (birth round:
+    # the stream-static near-dup join + watermarked match aggregation —
+    # the continuous-ingestion twin of the pHash near-dup path); same
+    # grounds as text_tokens
+    "text_quality",                    # operators/textops.py untouched; green r01-r04
 ]
 
 

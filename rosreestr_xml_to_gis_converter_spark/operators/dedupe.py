@@ -216,38 +216,25 @@ def simhash_near_pairs(
     )
 
 
-def hamming_near_pairs(
+def _banded_chunks(
     df: DataFrame,
     max_hamming: int,
-    id_col: str = "id",
-    hash_col: str = "h",
-    n_bits: int = 64,
-    n_bands: int | None = None,
-    chunks_per_band: int = 1,
+    id_col: str,
+    hash_col: str,
+    n_bits: int,
+    n_bands: int | None,
+    chunks_per_band: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Near-dup pairs over an EXISTING n-bit fingerprint column by banded
-    hamming search: split the fingerprint into ``n_bands`` chunks
-    (default ``max_hamming + 1`` — the pigeonhole count that GUARANTEES
-    two hashes within the radius collide on at least one untouched
-    chunk), equi-self-join on (band, chunk), verify the exact distance
-    with ``bit_count(xor)``.  The join is a bucket join on chunk values,
-    never all-pairs — the same 10^12-row shape as the MinHash/SimHash
-    paths.  Remainder bits are distributed so no bit is dropped.
-
-    ``chunks_per_band`` (round 5) is the SCALE knob the single-chunk
-    layout lacks: with n_bands = max_hamming + 1 the band keys are only
-    ~n_bits/(r+1) bits wide (13 for a 64-bit pHash at r=4), so on a
-    near-uniform corpus the bucket join goes quadratic past ~10^6 rows
-    (measured: 2e9 candidate pairs at 2M rows).  Combinatorial banding
-    splits the hash into ``n_bands`` chunks and keys each band on a
-    COMBINATION of ``chunks_per_band`` = m of them: within radius r at
-    most r chunks differ, so a pair shares a fully-clean m-combination
-    whenever n_bands - r >= m (validated below) — recall stays
-    guaranteed while keys grow to m*(n_bits/n_bands) bits.  E.g.
-    (n_bands=8, m=4) gives C(8,4)=70 bands of 32-bit keys: candidate
-    volume drops by ~2^19 per band pair while the explode factor rises
-    14x — the right trade at 10^8+ rows.
-    """
+    """The banded-hamming chunking shared by the self-join
+    (:func:`hamming_near_pairs`) and the stream-static matcher
+    (:func:`hamming_match_static`): validate the (n_bands,
+    chunks_per_band) pigeonhole recall guarantee, split the fingerprint
+    into remainder-distributed chunks, and explode each row to one
+    (band, key) per chunk combination.  ``carry`` columns pass through
+    unchanged (e.g. an event-time column for streaming watermarks).
+    Keeping this in ONE place means the two join shapes can never key
+    on different chunk layouts."""
     from itertools import combinations
 
     n_bands = max_hamming + 1 if n_bands is None else n_bands
@@ -288,10 +275,13 @@ def hamming_near_pairs(
             f"C({n_bands},{chunks_per_band}) = {len(combis)} band combinations; "
             "pick a config with <= 512 (explode factor = combination count)"
         )
-    s = df.select(F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("hh"))
-    chunks = s.select(
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("hh"), *carry
+    )
+    return s.select(
         "id",
         "hh",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -300,7 +290,99 @@ def hamming_near_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "hh", "bk.band", "bk.key")
+    ).select("id", "hh", *carry, "bk.band", "bk.key")
+
+
+def hamming_match_static(
+    probe: DataFrame,
+    static: DataFrame,
+    max_hamming: int,
+    probe_id_col: str = "id",
+    probe_hash_col: str = "h",
+    static_id_col: str = "id",
+    static_hash_col: str = "h",
+    n_bits: int = 64,
+    n_bands: int | None = None,
+    chunks_per_band: int = 1,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Verified near-dup matches of ``probe`` rows against a STATIC
+    fingerprint layer: both sides chunk through :func:`_banded_chunks`,
+    equi-join on (band, key), ``bit_count(xor)`` verify — the
+    continuous-ingestion shape of :func:`hamming_near_pairs`.  STATELESS
+    by construction (no self-join, no dedup shuffle), so ``probe`` may
+    be a Structured Streaming DataFrame: each micro-batch joins the
+    static side with no state store, which is exactly how a 10^12-row
+    corpus absorbs new documents — the static side is the bucketed
+    signature table written once and reused per batch.
+
+    A (probe, static) pair surfaces once per matching band combination;
+    the caller collapses the multiplicity (``dropDuplicates`` in batch,
+    or the watermarked per-probe aggregation in
+    ``streaming/near_dup.py`` — ``collect_set`` absorbs it for free).
+    ``carry`` columns from the probe side pass through (e.g. the event
+    time a streaming watermark needs)."""
+    pc = _banded_chunks(
+        probe, max_hamming, probe_id_col, probe_hash_col,
+        n_bits, n_bands, chunks_per_band, carry=carry,
+    ).select(
+        F.col("id").alias("probe_id"), F.col("hh").alias("_ph"),
+        *carry, "band", "key",
+    )
+    sc = _banded_chunks(
+        static, max_hamming, static_id_col, static_hash_col,
+        n_bits, n_bands, chunks_per_band,
+    ).select(
+        F.col("id").alias("static_id"), F.col("hh").alias("_sh"), "band", "key"
+    )
+    return (
+        pc.join(sc, ["band", "key"])
+        .filter(F.col("probe_id") != F.col("static_id"))
+        .select(
+            "probe_id",
+            "static_id",
+            F.bit_count(F.col("_ph").bitwiseXOR(F.col("_sh"))).alias("hamming"),
+            *carry,
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    max_hamming: int,
+    id_col: str = "id",
+    hash_col: str = "h",
+    n_bits: int = 64,
+    n_bands: int | None = None,
+    chunks_per_band: int = 1,
+) -> DataFrame:
+    """Near-dup pairs over an EXISTING n-bit fingerprint column by banded
+    hamming search: split the fingerprint into ``n_bands`` chunks
+    (default ``max_hamming + 1`` — the pigeonhole count that GUARANTEES
+    two hashes within the radius collide on at least one untouched
+    chunk), equi-self-join on (band, chunk), verify the exact distance
+    with ``bit_count(xor)``.  The join is a bucket join on chunk values,
+    never all-pairs — the same 10^12-row shape as the MinHash/SimHash
+    paths.  Remainder bits are distributed so no bit is dropped.
+
+    ``chunks_per_band`` (round 5) is the SCALE knob the single-chunk
+    layout lacks: with n_bands = max_hamming + 1 the band keys are only
+    ~n_bits/(r+1) bits wide (13 for a 64-bit pHash at r=4), so on a
+    near-uniform corpus the bucket join goes quadratic past ~10^6 rows
+    (measured: 2e9 candidate pairs at 2M rows).  Combinatorial banding
+    splits the hash into ``n_bands`` chunks and keys each band on a
+    COMBINATION of ``chunks_per_band`` = m of them: within radius r at
+    most r chunks differ, so a pair shares a fully-clean m-combination
+    whenever n_bands - r >= m (validated below) — recall stays
+    guaranteed while keys grow to m*(n_bits/n_bands) bits.  E.g.
+    (n_bands=8, m=4) gives C(8,4)=70 bands of 32-bit keys: candidate
+    volume drops by ~2^19 per band pair while the explode factor rises
+    14x — the right trade at 10^8+ rows.
+    """
+    chunks = _banded_chunks(
+        df, max_hamming, id_col, hash_col, n_bits, n_bands, chunks_per_band
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

@@ -793,6 +793,51 @@ SELECT user_id, event_id, event_type, ts FROM (
 """
 
 
+def stream_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.near_dup.stream_near_dup_matches`` over
+    a planted-twin corpus: static layer = images with orderkey < 400;
+    probes = twins at hamming k = orderkey % 7 "arriving" at epoch +
+    orderkey hours.  Exactly the k <= 4 probes must surface, each
+    matching PRECISELY its own base image — the min pairwise base
+    hamming is >= 12 at sf0.001/0.01/0.1 (measured), so a probe sits
+    >= 8 from every other base and the oracle is closed-form.
+    Stream/batch parity (stream-static chunk join + watermarked window
+    agg vs these exact expressions) is proven in
+    tests/test_streaming.py."""
+    from rosreestr_xml_to_gis_converter_spark.streaming.near_dup import (
+        near_dup_matches_batch,
+    )
+
+    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    okey = F.split("image_id", "-")[1].cast("long")
+    base = img.filter(okey < 400).select("image_id", "phash")
+    k = F.split("image_id", "-")[1].cast("long") % 7
+    mask = (F.pow(F.lit(2.0), k.cast("double"))).cast("long") - 1
+    probes = base.select(
+        F.concat("image_id", F.lit("~")).alias("image_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+        # NTZ like the parquet events.ts column: the oracle's naive
+        # time_bucket must hash-match (tz-aware arrow output would not)
+        F.timestamp_seconds(F.split("image_id", "-")[1].cast("long") * 3600)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+    )
+    return near_dup_matches_batch(probes, base, max_hamming=4)
+
+
+STREAM_NEARDUP_SQL = """
+WITH base AS (
+  SELECT DISTINCT concat('img-', l_orderkey, '-', l_linenumber) AS id,
+         l_orderkey % 7 AS k, l_orderkey AS okey
+  FROM lineitem WHERE l_orderkey < 400)
+SELECT time_bucket(INTERVAL '4 hours',
+                   TIMESTAMP '1970-01-01' + okey * INTERVAL 1 hour,
+                   TIMESTAMP '1970-01-01') AS win_start,
+       id || '~' AS probe_id, [id] AS matches, CAST(1 AS BIGINT) AS n_matches
+FROM base WHERE k <= 4
+"""
+
+
 # --- tiling ------------------------------------------------------------------
 
 _TILE_PX = 16
@@ -1417,6 +1462,7 @@ ENGINE_QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_user_totals": stream_user_totals,
     "stream_lww_winner": stream_lww_winner,
+    "stream_neardup_matches": stream_neardup_matches,
     "tile_masks": tile_masks_q,
     "image_invariants": image_invariants,
     "image_resize_planted": image_resize_planted,
@@ -1461,6 +1507,7 @@ ENGINE_ORACLES = {
     "stream_window_counts": STREAM_WINDOW_SQL,
     "stream_user_totals": STREAM_USER_TOTALS_SQL,
     "stream_lww_winner": STREAM_LWW_WINNER_SQL,
+    "stream_neardup_matches": STREAM_NEARDUP_SQL,
     "tile_masks": TILE_MASKS_SQL,
     "image_invariants": IMAGE_INVARIANTS_SQL,
     "image_resize_planted": IMAGE_RESIZE_PLANTED_SQL,

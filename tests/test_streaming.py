@@ -127,3 +127,61 @@ def test_stream_lww_upsert_final_winner_equals_batch(spark, sf_dir, events_dir):
         for r in g4_lww_upsert(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_near_dup_matches_equals_batch(spark, tmp_path):
+    """Stream-static near-dup: a planted-twin image stream joined to a
+    static signature layer must yield exactly the batch twin's rows —
+    per window and probe, the same sorted match list.  The stream side
+    arrives in 4 micro-batch files (exercises per-batch stream-static
+    joins + incremental window-agg state)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rosreestr_xml_to_gis_converter_spark.streaming.near_dup import (
+        near_dup_matches_batch,
+        read_images_stream,
+        stream_near_dup_matches,
+    )
+    from rosreestr_xml_to_gis_converter_spark.synth import images_from_lineitem
+
+    img = images_from_lineitem(
+        spark, "/root/testdata/sf0.001"
+    ).dropDuplicates(["image_id"])
+    okey = F.split("image_id", "-")[1].cast("long")
+    static = img.filter(okey < 400).select("image_id", "phash")
+    k = F.split("image_id", "-")[1].cast("long") % 7
+    mask = (F.pow(F.lit(2.0), k.cast("double"))).cast("long") - 1
+    probes = static.select(
+        F.concat("image_id", F.lit("~")).alias("image_id"),
+        F.col("phash").bitwiseXOR(mask).alias("phash"),
+        F.timestamp_seconds(
+            F.split("image_id", "-")[1].cast("long") * 3600
+        ).alias("ts"),
+    )
+    stream_dir = str(tmp_path / "img_stream")
+    probes.repartition(4).write.parquet(stream_dir)
+    try:
+        stream = read_images_stream(spark, stream_dir)
+        run_complete_to_memory(
+            stream_near_dup_matches(stream, static, max_hamming=4),
+            "neardup_stream",
+        )
+        got = {
+            (r.win_start, r.probe_id): (tuple(r.matches), r.n_matches)
+            for r in spark.sql("SELECT * FROM neardup_stream").collect()
+        }
+        want = {
+            (r.win_start, r.probe_id): (tuple(r.matches), r.n_matches)
+            for r in near_dup_matches_batch(
+                spark.read.parquet(stream_dir), static, max_hamming=4
+            ).collect()
+        }
+        assert got == want
+        assert len(want) > 100
+        # closed-form: every match list is exactly the probe's own base
+        for (_, probe_id), (matches, n) in want.items():
+            assert n == 1 and matches == (probe_id[:-1],)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
