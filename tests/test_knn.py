@@ -288,3 +288,34 @@ def test_escalation_levels_compute_each_heavy_map_once(spark, images):
     # twice at two ladder steps)
     n_heavy = pc.final.count("partial_collect_list")
     assert n_heavy == 3, f"expected 3 collect_list maps, plan has {n_heavy}"
+
+
+def test_escalation_auto_gate_closes_on_small_broadcast_cap(spark, images):
+    """The AUTO gate (layer_fallback=None) must close when the layer
+    exceeds layer_fallback_max_rows and route through the escalation
+    ladder: with a cap of 3 rows against a 5-centroid layer, the output
+    must be byte-equal to the explicit gate-closed ladder, and every
+    emitted row oracle-exact vs brute force."""
+    from rosreestr_xml_to_gis_converter_spark.queries_engine import SPARSE_CENTROIDS
+
+    cen = spark.createDataFrame(
+        pd.DataFrame(SPARSE_CENTROIDS, columns=["cad_number", "clon", "clat"])
+    )
+    auto = knn_grid(
+        images, cen, TESTDATA_BOX, k=3, res=9, disk=1,
+        layer_fallback=None, layer_fallback_max_rows=3,
+    ).toPandas()
+    explicit = knn_grid(
+        images, cen, TESTDATA_BOX, k=3, res=9, disk=1,
+        escalate=(2, 4), layer_fallback=False,
+    ).toPandas()
+    key = ["image_id", "rank"]
+    a = auto.sort_values(key).reset_index(drop=True)
+    b = explicit.sort_values(key).reset_index(drop=True)
+    assert a[["image_id", "rank", "cad_number"]].equals(
+        b[["image_id", "rank", "cad_number"]]
+    )
+    brute = knn_bruteforce(images, cen, TESTDATA_BOX, k=3).toPandas()
+    merged = a.merge(brute, on=key, suffixes=("", "_b"))
+    assert len(merged) == len(a)
+    assert (merged["cad_number"] == merged["cad_number_b"]).all()
