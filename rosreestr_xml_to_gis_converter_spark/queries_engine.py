@@ -822,7 +822,16 @@ def stream_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp_ntz")
         .alias("ts"),
     )
-    return near_dup_matches_batch(probes, base, max_hamming=4)
+    out = near_dup_matches_batch(probes, base, max_hamming=4)
+    # array -> joined string for the gate: Spark and DuckDB disagree on
+    # arrow list FIELD metadata (element nullability / child name), which
+    # a strict schema comparison flags even when the values hash equal
+    return out.select(
+        "win_start",
+        "probe_id",
+        F.array_join("matches", ",").alias("matches"),
+        "n_matches",
+    )
 
 
 STREAM_NEARDUP_SQL = """
@@ -833,7 +842,7 @@ WITH base AS (
 SELECT time_bucket(INTERVAL '4 hours',
                    TIMESTAMP '1970-01-01' + okey * INTERVAL 1 hour,
                    TIMESTAMP '1970-01-01') AS win_start,
-       id || '~' AS probe_id, [id] AS matches, CAST(1 AS BIGINT) AS n_matches
+       id || '~' AS probe_id, id AS matches, CAST(1 AS BIGINT) AS n_matches
 FROM base WHERE k <= 4
 """
 
