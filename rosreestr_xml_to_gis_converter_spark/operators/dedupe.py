@@ -19,14 +19,48 @@ def _words(text: Column) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a text column (JVM higher-order fns)."""
-    words = _words(text)
-    n = F.size(words) - (k - 1)
-    mk = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(k)]),
-    )
-    return F.array_distinct(F.when(n >= 1, mk).otherwise(F.array().cast("array<string>")))
+    """Distinct k-word shingles of a text column (JVM higher-order fns).
+
+    The word array is bound to a LAMBDA VARIABLE (via a single-element
+    array + transform) before the per-shingle ``element_at`` accesses:
+    referencing the raw ``split(lower(text))`` expression inside the
+    shingle lambda re-evaluates the split per element access — ~3k
+    split+lower calls per document — because Catalyst's subexpression
+    elimination does not hoist out of higher-order lambdas (measured:
+    50k docs shingled in ~1 s this way vs ~72 s with the naive form;
+    the emitted shingle values are identical)."""
+
+    def shingles_of(w: Column) -> Column:
+        n = F.size(w) - (k - 1)
+        mk = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]),
+        )
+        return F.array_distinct(
+            F.when(n >= 1, mk).otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.element_at(F.transform(F.array(_words(text)), shingles_of), 1)
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive input-skew guard (guide §2.5): a small parquet with
+    one row group hands ALL its rows to a single scan task no matter what
+    ``maxPartitionBytes`` says — the byte-range split count looks healthy
+    while every row lands in the one split holding the row-group start —
+    serializing every downstream expression (measured: the 50k-doc
+    shingle+minhash build ran ~82 s on one core vs ~3 s spread).  The
+    partition COUNT therefore can't detect it; gate on the optimizer's
+    size estimate instead: anything smaller than one healthy task-wave
+    (parallelism x 64 MB) is repartitioned round-robin — a sub-GB
+    exchange, trivially cheap — while a production-scale table with many
+    row groups skips the extra shuffle entirely."""
+    sess = df.sparkSession
+    parallelism = sess.sparkContext.defaultParallelism
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size < parallelism * 64 * 1024 * 1024:
+        return df.repartition(parallelism)
+    return df
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -92,14 +126,24 @@ def minhash_lsh_pairs(
     cost is ~linear in corpus size for realistic duplicate rates.
     """
     rows = n_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    sh = (
+        spread_input(df)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .cache()
+    )
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    # SLIM band rows (round-6 optimization, guide §2.3/§8): the bucket
+    # self-join carries only (id, band, bucket) — the earlier realization
+    # shipped every doc's full shingle array `bands`x through the join's
+    # build side (~1 KB/row at 8 copies per doc), which dominated the
+    # query; shingles are re-attached below to the (tiny) surviving
+    # candidate-pair set only.
     banded = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -113,10 +157,11 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bucket").cache()
-    # cache: the bucket self-join would otherwise recompute the full
-    # shingle->minhash->band pipeline for BOTH sides (at scale: persist
-    # signatures to a table once, join from there)
+    ).select("id", "bb.band", "bb.bucket").cache()
+    # caches: the bucket self-join would otherwise recompute the full
+    # shingle->minhash->band pipeline for BOTH sides, and the verify
+    # joins would re-shingle (at scale: persist the signature table once,
+    # join from there)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -129,11 +174,16 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # re-attach shingles to candidates only; AQE turns these into
+    # broadcast joins of the candidate side at realistic duplicate rates
+    # (candidates << corpus), so the cached shingle relation is streamed,
+    # never shuffled
+    cand = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     return (
         cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)

@@ -247,16 +247,27 @@ def _exploded_cells(centroids: DataFrame, res: int, outer: int) -> DataFrame:
     )
 
 
-def _cen_cells(centroids: DataFrame, res: int, outer: int, inner: int) -> DataFrame:
+def _cen_cells(
+    centroids: DataFrame,
+    res: int,
+    outer: int,
+    inner: int,
+    cand_cols: tuple[str, ...] = ("clon", "clat", "cad_number"),
+) -> DataFrame:
     """Centroids exploded over the (2*outer+1)^2 neighbor offsets ->
     one row per covered cell: ``_cands`` (all candidates within Chebyshev
-    ``outer``) + ``_cnt`` (how many lie within ``inner``)."""
+    ``outer``) + ``_cnt`` (how many lie within ``inner``).
+
+    ``cand_cols`` picks the fields packed per candidate — the whole-layer
+    gate path substitutes an integer ``_ord`` for the cad string so the
+    per-row top-k sorts a numeric-only struct (see ``_knn_grid_join``).
+    """
     cen = _exploded_cells(centroids, res, outer).withColumn(
         "_in",
         ((F.abs(F.col("_dx")) <= inner) & (F.abs(F.col("_dy")) <= inner)).cast("int"),
     )
     return cen.groupBy("cell").agg(
-        F.collect_list(F.struct("clon", "clat", "cad_number")).alias("_cands"),
+        F.collect_list(F.struct(*cand_cols)).alias("_cands"),
         F.sum("_in").alias("_cnt"),
     )
 
@@ -295,6 +306,29 @@ def _knn_grid_join(
         # AUTO ladder: redundant (identical output, extra stages) while
         # the whole-layer terminal exists; the scale path without it
         escalate = () if use_layer else (2, 4)
+    # Candidate encoding (round-6 optimization, guide §2 "per-task work"):
+    # with the whole-layer gate OPEN the layer is dimension-sized, so each
+    # centroid gets an integer ``_ord`` = its rank by cad_number (layer-
+    # wide window on the SMALL side only) and candidates travel as
+    # struct(dist, _ord) — the per-row transform/array_sort then touches
+    # only fixed-width numerics instead of copying/comparing cad strings
+    # (measured: the string-struct transform was ~2.4 s of the 2.7 s
+    # top-k cost at sf1.0).  ``(dist, _ord)`` orders identically to
+    # ``(dist, cad_number)`` because _ord is rank-by-cad (ties on equal
+    # cads emit identical rows either way); the string reappears only in
+    # the final projection via one element_at into the rank->cad array.
+    # Gate CLOSED (huge layer) keeps the string encoding: a layer-wide
+    # window/array would violate the no-whole-layer-materialization rule.
+    if use_layer:
+        from pyspark.sql import Window
+
+        cen = centroids.withColumn(
+            "_ord", F.row_number().over(Window.orderBy("cad_number"))
+        )
+        cand_cols: tuple[str, ...] = ("clon", "clat", "_ord")
+    else:
+        cen = centroids
+        cand_cols = ("clon", "clat", "cad_number")
     # ZERO-SHUFFLE top-k: every candidate of an image comes from the one
     # broadcast-join row that matched its cell, so a groupBy/window over
     # exploded candidate rows would shuffle 8-10x the output for nothing
@@ -302,11 +336,11 @@ def _knn_grid_join(
     # SMALL side is pre-aggregated per cell (still broadcast-sized), the
     # join is 1:1, and top-k is a higher-order array expression — the big
     # side never shuffles and the whole query stays in codegen.
-    levels = [_cen_cells(centroids, res, disk, disk)]
+    levels = [_cen_cells(cen, res, disk, disk, cand_cols)]
     prev_d = disk
     for mult in escalate:
         d_i = disk * mult
-        mi_full = _cen_cells(centroids, res, _exact_disk(d_i), d_i)
+        mi_full = _cen_cells(cen, res, _exact_disk(d_i), d_i, cand_cols)
         # keep only cells the PREVIOUS level left short: the escalation
         # maps' size tracks the sparse boundary, not the whole layer.
         # The filter reads a counts-only map (not the previous full map,
@@ -337,8 +371,15 @@ def _knn_grid_join(
             "left",
         )
     if use_layer:
-        all_cands = centroids.groupBy().agg(
-            F.collect_list(F.struct("clon", "clat", "cad_number")).alias("_all")
+        all_cands = cen.groupBy().agg(
+            F.collect_list(F.struct(*cand_cols)).alias("_all"),
+            # rank->cad lookup for the final projection: position i holds
+            # the cad_number whose _ord is i (array_sort on (ord, cad)
+            # structs orders by the unique ord)
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ord", "cad_number"))),
+                lambda s: s["cad_number"],
+            ).alias("_cads"),
         )
         joined = joined.crossJoin(F.broadcast(all_cands))
         terminal = F.col("_all")
@@ -354,6 +395,25 @@ def _knn_grid_join(
         cands = F.when(
             F.coalesce(F.col(f"_cnt{i}"), F.lit(0)) >= k, F.col(f"_cands{i}")
         ).otherwise(cands)
+    if use_layer:
+        scored = F.transform(
+            cands,
+            lambda c: F.struct(
+                _dist(F.col("lon"), F.col("lat"), c["clon"], c["clat"]).alias("dist"),
+                c["_ord"].alias("_ord"),
+            ),
+        )
+        # numeric struct sort == (dist ASC, _ord ASC) == (dist ASC,
+        # cad_number ASC): _ord is rank-by-cad_number
+        top = F.slice(F.array_sort(scored), 1, k)
+        return joined.select(
+            "image_id", "_cads", F.posexplode(top).alias("pos", "t")
+        ).select(
+            "image_id",
+            F.element_at(F.col("_cads"), F.col("t._ord")).alias("cad_number"),
+            (F.col("pos") + 1).alias("rank"),
+            F.col("t.dist").alias("dist"),
+        )
     scored = F.transform(
         cands,
         lambda c: F.struct(

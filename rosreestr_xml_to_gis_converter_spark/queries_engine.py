@@ -28,6 +28,7 @@ from rosreestr_xml_to_gis_converter_spark.queries_ref import load
 from rosreestr_xml_to_gis_converter_spark.synth import (
     TESTDATA_BOX,
     TESTDATA_PARCELS,
+    distinct_images_from_lineitem,
     images_from_lineitem,
     parcels_values_sql,
     phash_sql,
@@ -204,9 +205,9 @@ def _centroids_pdf() -> pd.DataFrame:
 def knn_parcels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver testdata holds duplicate (orderkey, linenumber) pairs;
     # kNN is keyed per distinct image (a real image table is unique), so
-    # dedup first — a 600k-row shuffle instead of the 4.8M-candidate
-    # shuffle the old agg-based top-k paid
-    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    # dedup first — on the two raw INT key columns (narrow shuffle,
+    # guide §2.3) rather than the derived id string
+    img = distinct_images_from_lineitem(spark, sf_dir)
     centroids = spark.createDataFrame(_centroids_pdf())
     # the layer is a LITERAL dimension (TESTDATA_PARCELS), so open the
     # whole-layer gate explicitly instead of paying the auto-gate's
@@ -287,7 +288,7 @@ def knn_uncovered(spark: SparkSession, sf_dir: str) -> DataFrame:
     them against the full (broadcast) layer, so the output must equal
     true kNN for every distinct image — exactly what the cross-join
     oracle states.  Row count == distinct images x k by construction."""
-    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    img = distinct_images_from_lineitem(spark, sf_dir)
     cen = spark.createDataFrame(
         pd.DataFrame(SPARSE_CENTROIDS, columns=["cad_number", "clon", "clat"])
     )
@@ -360,7 +361,7 @@ def knn_escalated(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-disk ranking makes every emitted row TRUE kNN — exactly the
     cross-join oracle.  Row count == distinct images x k: nothing is
     dropped even with the layer fallback disabled."""
-    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    img = distinct_images_from_lineitem(spark, sf_dir)
     cen = spark.createDataFrame(
         pd.DataFrame(KNN_LATTICE, columns=["cad_number", "clon", "clat"])
     )
@@ -456,9 +457,9 @@ def dedup_phash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     <=4-hamming pair), so the oracle is closed-form."""
     from rosreestr_xml_to_gis_converter_spark.operators.dedupe import phash_near_pairs
 
-    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
-    okey = F.split("image_id", "-")[1].cast("long")
-    base = img.filter(okey < 400).select("image_id", "phash")
+    # orderkey < 400 commutes with the key-pair distinct: push it into
+    # the scan so the fixture dedups 400 orderkeys, not the whole table
+    base = distinct_images_from_lineitem(spark, sf_dir, max_orderkey=400)
     k = F.split("image_id", "-")[1].cast("long") % 7
     # flip exactly the k low bits (2^k - 1; pow is exact for k <= 6)
     mask = (F.pow(F.lit(2.0), k.cast("double"))).cast("long") - 1
@@ -496,9 +497,7 @@ def dedup_cluster_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_near_pairs,
     )
 
-    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
-    okey = F.split("image_id", "-")[1].cast("long")
-    base = img.filter(okey < 200).select("image_id", "phash")
+    base = distinct_images_from_lineitem(spark, sf_dir, max_orderkey=200)
     vb = base.select(
         F.concat("image_id", F.lit("~b")).alias("image_id"),
         F.col("phash").bitwiseXOR(F.lit(0b111)).alias("phash"),
@@ -716,7 +715,7 @@ def knn_parcels_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-distinct-key oracle."""
     from rosreestr_xml_to_gis_converter_spark.operators.knn import knn_literal
 
-    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    img = distinct_images_from_lineitem(spark, sf_dir)
     cen = [tuple(r) for r in _centroids_pdf().itertuples(index=False)]
     out = knn_literal(img, cen, TESTDATA_BOX, k=KNN_K)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -727,7 +726,7 @@ def knn_parcels_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grid path."""
     from rosreestr_xml_to_gis_converter_spark.operators.knn import knn_bruteforce
 
-    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
+    img = distinct_images_from_lineitem(spark, sf_dir)
     centroids = spark.createDataFrame(_centroids_pdf())
     out = knn_bruteforce(img, centroids, TESTDATA_BOX, k=KNN_K)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -808,9 +807,7 @@ def stream_neardup_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dup_matches_batch,
     )
 
-    img = images_from_lineitem(spark, sf_dir).dropDuplicates(["image_id"])
-    okey = F.split("image_id", "-")[1].cast("long")
-    base = img.filter(okey < 400).select("image_id", "phash")
+    base = distinct_images_from_lineitem(spark, sf_dir, max_orderkey=400)
     k = F.split("image_id", "-")[1].cast("long") % 7
     mask = (F.pow(F.lit(2.0), k.cast("double"))).cast("long") - 1
     probes = base.select(

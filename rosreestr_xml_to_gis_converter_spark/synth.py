@@ -168,6 +168,36 @@ def images_from_lineitem(
     )
 
 
+def distinct_images_from_lineitem(
+    spark: SparkSession, sf_dir: str, max_orderkey: int | None = None
+) -> DataFrame:
+    """Distinct ``(image_id, phash)`` images — the narrow-key twin of
+    ``images_from_lineitem(...).dropDuplicates(["image_id"])``.
+
+    ``image_id`` is a bijection of ``(l_orderkey, l_linenumber)`` (plain
+    integers joined by '-'), so deduping on the two raw INT columns and
+    deriving the string id / phash AFTER the exchange yields the same
+    distinct set while the shuffle carries 12 bytes per row instead of a
+    ~17-byte string plus a first(phash) aggregation state, and the hash
+    aggregate runs on fixed-width keys (guide §2.3: shuffle fewer,
+    narrower bytes).  ``max_orderkey`` pushes the planted-fixture
+    ``l_orderkey < N`` filter below the dedup exchange and into the
+    parquet scan (it commutes with distinct on the key pair).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if max_orderkey is not None:
+        li = li.filter(F.col("l_orderkey") < max_orderkey)
+    d = li.select("l_orderkey", "l_linenumber").dropDuplicates()
+    return d.select(
+        F.concat_ws(
+            "-", F.lit("img"), F.col("l_orderkey"), F.col("l_linenumber")
+        ).alias("image_id"),
+        phash_col(F.col("l_orderkey"), F.col("l_linenumber").cast("long")).alias(
+            "phash"
+        ),
+    )
+
+
 def scaling_images(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
     """Partition-true synthetic images table for scaling runs.
 

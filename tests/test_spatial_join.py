@@ -144,11 +144,19 @@ def test_broadcast_cover_size_guard_falls_back(spark):
     assert any("falling back to shuffled join" in str(w.message) for w in caught)
     plan = out._jdf.queryExecution().executedPlan().toString()
     final_plan = plan.split("== Initial Plan ==")[0]
-    assert "MapInArrow" not in final_plan  # geometry rides the rows instead
-    assert "MapInPandas" in final_plan
+    # geometry rides the rows instead of a broadcast dict: the Arrow
+    # stage's input carries the geom column (round 6 moved this path
+    # from mapInPandas to the Arrow-native rows refine), and no pk-keyed
+    # broadcast-dict projection appears
+    assert "MapInArrow" in final_plan
+    assert "geom#" in final_plan
+    assert "MapInPandas" not in final_plan
 
-    # small covers keep the broadcast plan shape
+    # small covers keep the broadcast-dict plan shape: pk-keyed, no geom
+    # column through the Arrow hop
     out2 = spatial_join(images, cover, TESTDATA_BOX)
     out2.collect()
     plan2 = out2._jdf.queryExecution().executedPlan().toString()
-    assert "MapInArrow" in plan2.split("== Initial Plan ==")[0]
+    final_plan2 = plan2.split("== Initial Plan ==")[0]
+    assert "MapInArrow" in final_plan2
+    assert "pk#" in final_plan2
