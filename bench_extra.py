@@ -73,17 +73,6 @@ def build_queries(spark, sf_dir, cpus):
     skew_img = bench_mod._skewed_images(images_from_lineitem(spark, sf_dir))
     skew_cover = build_parcel_cover(spark, testdata_parcels_rings(), JOIN_RES)
 
-    def no_bcast(fn):
-        def run():
-            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            try:
-                return fn()
-            finally:
-                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-
-        return run
-
     return {
         "flagship_spatial_join": lambda: flagship_spatial_join(spark, sf_dir),
         "knn_parcels": lambda: knn_parcels(spark, sf_dir),
@@ -101,19 +90,14 @@ def build_queries(spark, sf_dir, cpus):
         ),
         "image_validate_400": lambda: validate_images(imgs),
         "image_features_400": lambda: image_features(imgs),
-        "skew_join_unsalted": no_bcast(
-            lambda: spatial_join(
-                skew_img, skew_cover, TESTDATA_BOX, broadcast_cover=False
-            )
+        # the harness holds autoBroadcastJoinThreshold=-1 across the whole
+        # rep loop for skew_* names (matching bench.py's wrapping of the
+        # timed count, not just the DataFrame build)
+        "skew_join_unsalted": lambda: spatial_join(
+            skew_img, skew_cover, TESTDATA_BOX, broadcast_cover=False
         ),
-        "skew_join_salted": no_bcast(
-            lambda: spatial_join(
-                skew_img,
-                skew_cover,
-                TESTDATA_BOX,
-                broadcast_cover=False,
-                salt=cpus,
-            )
+        "skew_join_salted": lambda: spatial_join(
+            skew_img, skew_cover, TESTDATA_BOX, broadcast_cover=False, salt=cpus
         ),
     }
 
@@ -157,6 +141,12 @@ def main() -> None:
 
     out: dict[str, dict] = {}
     for name, fn in queries.items():
+        if name.startswith("skew_join"):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        else:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
         if args.plans:
             os.makedirs("plans/r06", exist_ok=True)
             df = fn()

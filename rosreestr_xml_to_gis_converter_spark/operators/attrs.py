@@ -536,6 +536,16 @@ def with_rights_strings(parcels: DataFrame) -> DataFrame:
     """
     from rosreestr_xml_to_gis_converter_spark.classifiers import ENCUMBRANCE, RIGHT
 
+    # the staged temps below would silently overwrite (and the final
+    # temp-drop rule would then keep) an input column with a colliding
+    # name (round-5 ADVICE): reject up front
+    clash = [c for c in parcels.columns if c.startswith("_w_")]
+    if clash:
+        raise ValueError(
+            f"with_rights_strings: input columns {clash} collide with the "
+            "operator's _w_-prefixed staging temps; rename them first"
+        )
+
     right_map = _lit_map(RIGHT)
     enc_map = _lit_map(ENCUMBRANCE)
     egrn = (

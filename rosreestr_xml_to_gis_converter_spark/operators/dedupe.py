@@ -63,6 +63,21 @@ def spread_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_input_by(df: DataFrame, *cols: str) -> DataFrame:
+    """:func:`spread_input` variant that hash-partitions on ``cols``
+    instead of round-robin: skips the keyless repartition's
+    sort-before-repartition pass (guide §2.5), stays deterministic under
+    task retry, and — when ``cols`` are the keys of a downstream
+    dedup/groupBy — lets that operator reuse the exchange outright
+    (guide §2.4)."""
+    sess = df.sparkSession
+    parallelism = sess.sparkContext.defaultParallelism
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size < parallelism * 64 * 1024 * 1024:
+        return df.repartition(parallelism, *[F.col(c) for c in cols])
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content hash (hash-groupBy)."""
     return (
@@ -198,24 +213,40 @@ def simhash(text: Column, n_bits: int = 64) -> Column:
     xxhash64(token); bit set iff vote > 0.  Assembled into a long.
     """
     words = F.array_distinct(_words(text))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
 
-    def bit_vote(b: int) -> Column:
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    # bind the token-hash array to a lambda variable before the 64
+    # per-bit aggregates: referencing the raw transform expression in
+    # each aggregate re-runs split+distinct+hash 64x per row (the same
+    # higher-order-lambda duplication fixed in word_shingles; emitted
+    # fingerprints are identical)
+    def assemble(hashes: Column) -> Column:
+        def bit_vote(b: int) -> Column:
+            votes = F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            return F.when(votes > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
 
-    out = F.lit(0).cast("long")
-    for b in range(n_bits):
-        # bit 63 is the sign bit of a signed long: setting it == adding
-        # -2^63 (1 << 63 itself overflows a long literal)
-        weight = F.lit(-(1 << 63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
-        out = out + bit_vote(b) * weight
-    return out
+        out = F.lit(0).cast("long")
+        for b in range(n_bits):
+            # bit 63 is the sign bit of a signed long: setting it == adding
+            # -2^63 (1 << 63 itself overflows a long literal)
+            weight = (
+                F.lit(-(1 << 63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
+            )
+            out = out + bit_vote(b) * weight
+        return out
+
+    return F.element_at(
+        F.transform(
+            F.array(F.transform(words, lambda w: F.xxhash64(w))), assemble
+        ),
+        1,
+    )
 
 
 def simhash_near_pairs(
@@ -228,7 +259,9 @@ def simhash_near_pairs(
     16-bit chunks (pigeonhole: hamming<=3 guarantees a chunk collides;
     larger radii are still found with high probability), bucket-join,
     verify exact hamming distance with bit_count."""
-    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    s = spread_input(df).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+    )
     chunks = s.select(
         "id",
         "sh",
@@ -539,9 +572,27 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # release the superseded round's checkpointed blocks (round-5
+        # ADVICE): without this every iteration pins another full labels
+        # RDD in executor storage for the rest of the run
+        _unpersist_checkpoint(labels)
         labels = new
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    _unpersist_checkpoint(sym)
     return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a ``localCheckpoint``-ed frame.
+
+    ``df.rdd.unpersist()`` silently does nothing here — ``.rdd`` wraps
+    the plan in a NEW deserializing RDD; the persisted blocks belong to
+    the LogicalRDD captured at checkpoint time, reachable through the
+    analyzed plan (verified against ``getRDDStorageInfo``)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: a non-checkpointed frame has no LogicalRDD

@@ -45,7 +45,16 @@ def _dot(a: Column, b: Column) -> Column:
 def cosine_scores(
     emb: DataFrame, queries: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """All (query, candidate) cosine scores; queries broadcast."""
+    """All (query, candidate) cosine scores; queries broadcast.
+
+    The candidate side is spread first (round-6, guide §2.5): a
+    single-row-group embeddings parquet hands every vector to one scan
+    task, serializing the |queries| x dim dot products per row; the
+    size-gated repartition costs a tiny exchange and runs them on all
+    cores."""
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import spread_input
+
+    emb = spread_input(emb)
     e = emb.select(
         F.col(id_col).alias("cand_id"), _quantized(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _dot(F.col("qv"), F.col("qv")))

@@ -277,6 +277,14 @@ def spatial_join(
     """
     prepared = isinstance(cover, PreparedCover)
     res = cover.res if prepared else _cover_res(cover)
+    # input-skew guard (round 6, guide §2.5): a low-row-group parquet
+    # concentrates the whole scan on a handful of tasks, throttling the
+    # join+refine stage fused behind it; the size-gated hash repartition
+    # on image_id spreads it across all cores and is skipped for
+    # production-scale inputs (which have ample row groups already)
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import spread_input_by
+
+    images = spread_input_by(images, "image_id")
     pts = with_geotag(images, box).withColumn(
         "cell", cell_col(F.col("lat"), F.col("lon"), res=res)
     )

@@ -774,7 +774,10 @@ def stream_lww_winner(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity with the stateful stream is proven in tests/test_streaming.py)."""
     from pyspark.sql import Window
 
-    e = load(spark, sf_dir, "events")
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import spread_input_by
+
+    # same keyed spread as g4_lww_upsert (single-row-group events scan)
+    e = spread_input_by(load(spark, sf_dir, "events"), "user_id")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
         e.withColumn("_rn", F.row_number().over(w))
@@ -979,7 +982,17 @@ def _planted_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                     c = (d * 13 + 7) % 256
                     arr = np.full((16, 16, 3), c, np.uint8)
                     if d % 8 == 0:
-                        data = encode_image(arr, "jpeg")
+                        # pinned to the in-repo encoder like the three
+                        # sibling branches (round-5 ADVICE): under
+                        # SPARK_GRAFT_IMAGE_BACKEND=system the dispatched
+                        # encode_image would emit Pillow bytes, whose
+                        # fixed-point YCbCr round-trip can shift flat
+                        # means by +/-1 and break the exact oracle
+                        from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
+                            encode_jpeg,
+                        )
+
+                        data = encode_jpeg(arr)
                     elif d % 8 == 2:
                         from rosreestr_xml_to_gis_converter_spark.functions.jpeg import (
                             encode_jpeg_progressive,

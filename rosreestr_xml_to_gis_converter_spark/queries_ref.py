@@ -267,7 +267,13 @@ FROM g
 # --- G4: last-writer-wins upsert (real_estate.py:781-782) -------------------
 
 def g4_lww_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import spread_input_by
+
+    # spread on the window key (round 6, guide §2.5): the single-row-group
+    # events parquet hands all rows to one task, serializing the map-side
+    # WindowGroupLimit; the keyed repartition satisfies the window's
+    # distribution so no second exchange appears
+    e = spread_input_by(load(spark, sf_dir, "events"), "user_id")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
         e.withColumn("rn", F.row_number().over(w))

@@ -37,6 +37,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # round-6 skew tuning (guide §2.5): the default 256 MB skew
+        # threshold never fires on a hot join KEY whose partition is
+        # "only" ~100 MB but carries minutes of per-row (Python PIP)
+        # work.  16 MB + the unchanged 5x-median factor catches it while
+        # leaving healthy jobs alone — at cluster scale the factor
+        # dominates (median-sized partitions are far above 16 MB), so
+        # the low threshold is scale-safe.  Split chunks target the
+        # advisory size; forceOptimizeSkewedJoin accepts the extra
+        # shuffle a split can introduce (a skewed straggler always costs
+        # more than one more exchange of its bytes).  All overridable.
+        .config(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            os.environ.get("SPARK_GRAFT_SKEW_THRESHOLD", "16m"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "16m"),
+        )
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

@@ -184,10 +184,18 @@ def distinct_images_from_lineitem(
     ``l_orderkey < N`` filter below the dedup exchange and into the
     parquet scan (it commutes with distinct on the key pair).
     """
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import spread_input_by
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if max_orderkey is not None:
         li = li.filter(F.col("l_orderkey") < max_orderkey)
-    d = li.select("l_orderkey", "l_linenumber").dropDuplicates()
+    # size-gated repartition ON THE DEDUP KEYS: the low-row-group sandbox
+    # parquet would otherwise run the map-side partial aggregate at the
+    # row-group count's parallelism; keyed repartition lets the distinct
+    # reuse the exchange (guide §2.4) and runs it on all cores
+    d = spread_input_by(
+        li.select("l_orderkey", "l_linenumber"), "l_orderkey", "l_linenumber"
+    ).dropDuplicates()
     return d.select(
         F.concat_ws(
             "-", F.lit("img"), F.col("l_orderkey"), F.col("l_linenumber")

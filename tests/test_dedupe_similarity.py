@@ -494,3 +494,45 @@ def test_connected_components_nonconvergence_guard(spark):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
     with _pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(df, max_iter=1)
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """Round-6: superseded per-round label checkpoints (and the symmetric
+    edge list) must be unpersisted — a 10^9-edge run would otherwise pin
+    one full labels RDD per iteration for the rest of the job.  Only the
+    FINAL labels frame may keep its blocks."""
+    import pandas as pd
+
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import (
+        connected_components,
+    )
+
+    def n_persistent():
+        return len(spark._jsc.sc().getRDDStorageInfo())
+
+    before = n_persistent()
+    # a 16-node path graph needs several pointer-jumping rounds
+    edges = [(f"p{i:02d}", f"p{i+1:02d}") for i in range(15)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    out = connected_components(df)
+    assert out.count() == 16
+    assert n_persistent() <= before + 1  # final labels only
+
+
+def test_with_rights_strings_rejects_temp_collisions(spark):
+    """Round-6 (round-5 ADVICE): an input column named like a staging
+    temp would be clobbered and then kept by the temp-drop rule."""
+    import pytest as _pytest
+
+    from rosreestr_xml_to_gis_converter_spark.operators.attrs import (
+        with_rights_strings,
+    )
+
+    df = spark.sql(
+        "SELECT 'd1' AS doc_id, "
+        "CAST(NULL AS array<struct<right_type:string,owner:string>>) AS rights, "
+        "CAST(NULL AS array<struct<enc_type:string,holder:string>>) AS encumbrances, "
+        "1 AS _w_rights"
+    )
+    with _pytest.raises(ValueError, match="_w_"):
+        with_rights_strings(df)
