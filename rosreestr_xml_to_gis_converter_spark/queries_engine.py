@@ -957,10 +957,15 @@ def _planted_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rosreestr_xml_to_gis_converter_spark.functions.imaging import encode_image
     from rosreestr_xml_to_gis_converter_spark.schemas import IMAGES_SCHEMA
 
-    docs = (
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import spread_input_by
+
+    # size-gated spread: the planted encode loop otherwise runs in the
+    # single task holding the parquet's one row group
+    docs = spread_input_by(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _N_PLANTED_IMGS)
-        .select("doc_id")
+        .select("doc_id"),
+        "doc_id",
     )
 
     def gen(it):
@@ -1067,7 +1072,12 @@ def image_resize_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rosreestr_xml_to_gis_converter_spark.operators.imaging_ops import resize_images
     from rosreestr_xml_to_gis_converter_spark.schemas import IMAGES_SCHEMA
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import spread_input_by
+
+    docs = spread_input_by(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id"),
+        "doc_id",
+    )
 
     def gen(it):
         for pdf in it:
@@ -1140,8 +1150,11 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
     )
 
-    docs = (
-        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id")
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import spread_input_by
+
+    docs = spread_input_by(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select("doc_id"),
+        "doc_id",
     )
 
     def gen(it):

@@ -32,6 +32,10 @@ _N_DOCS = 300
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured (round 6): spreading this 300-row corpus across cores is a
+    # net LOSS (~+0.15 s) — the two chained Python stages pay per-task
+    # overhead that outweighs parallelizing ~0.3 s of parse work — so the
+    # single-row-group scan stays as-is here, unlike the heavy operators
     return (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") < _N_DOCS)

@@ -132,8 +132,12 @@ FROM nation LEFT JOIN region
 # --- J2: geometry x attributes denormalization (main.py:379-412) ------------
 
 def j2_denorm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rosreestr_xml_to_gis_converter_spark.operators.dedupe import spread_input_by
+
     o = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    # size-gated spread (guide §2.5): the 6-row-group lineitem scan caps
+    # the fused probe+project stage at 6-way parallelism otherwise
+    li = spread_input_by(load(spark, sf_dir, "lineitem"), "l_orderkey")
     rev_cents = F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)).cast("long")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey, "inner")
