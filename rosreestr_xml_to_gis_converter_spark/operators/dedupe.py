@@ -55,11 +55,8 @@ def spread_input(df: DataFrame) -> DataFrame:
     (parallelism x 64 MB) is repartitioned round-robin — a sub-GB
     exchange, trivially cheap — while a production-scale table with many
     row groups skips the extra shuffle entirely."""
-    sess = df.sparkSession
-    parallelism = sess.sparkContext.defaultParallelism
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if size < parallelism * 64 * 1024 * 1024:
-        return df.repartition(parallelism)
+    if _should_spread(df):
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return df
 
 
@@ -70,12 +67,24 @@ def spread_input_by(df: DataFrame, *cols: str) -> DataFrame:
     task retry, and — when ``cols`` are the keys of a downstream
     dedup/groupBy — lets that operator reuse the exchange outright
     (guide §2.4)."""
-    sess = df.sparkSession
-    parallelism = sess.sparkContext.defaultParallelism
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if size < parallelism * 64 * 1024 * 1024:
-        return df.repartition(parallelism, *[F.col(c) for c in cols])
+    if _should_spread(df):
+        return df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            *[F.col(c) for c in cols],
+        )
     return df
+
+
+def _should_spread(df: DataFrame) -> bool:
+    """Spread only the band where the exchange pays: above one healthy
+    task-wave (parallelism x 64 MB) the input has ample row groups and a
+    full-corpus shuffle would be waste; below parallelism x 64 KB the
+    job is over in one small task anyway and the exchange's fixed cost
+    (~0.1-0.2 s) dominates (measured: spreading the sf0.1 events/
+    embeddings scans cost +0.1-0.15 s net)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return parallelism * 64 * 1024 <= size < parallelism * 64 * 1024 * 1024
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
