@@ -76,15 +76,50 @@ def spread_input_by(df: DataFrame, *cols: str) -> DataFrame:
 
 
 def _should_spread(df: DataFrame) -> bool:
-    """Spread only the band where the exchange pays: above one healthy
-    task-wave (parallelism x 64 MB) the input has ample row groups and a
-    full-corpus shuffle would be waste; below parallelism x 64 KB the
-    job is over in one small task anyway and the exchange's fixed cost
-    (~0.1-0.2 s) dominates (measured: spreading the sf0.1 events/
-    embeddings scans cost +0.1-0.15 s net)."""
+    """Spread only when it can actually pay:
+
+    * size band — above one healthy task-wave (parallelism x 64 MB) the
+      shuffle would be waste and production tables are laid out anyway;
+      below parallelism x 64 KB the job is over in one small task and
+      the exchange's fixed cost (~0.1-0.2 s) dominates (measured:
+      spreading the sf0.1 events/embeddings scans cost +0.1-0.15 s net);
+    * the scan must be GENUINELY starved — parquet footers are checked
+      driver-side and the spread fires only when the total row-group
+      count is below the core count (the byte-range split COUNT lies: a
+      single-row-group file yields hundreds of "splits" with all rows in
+      one of them).  A well-laid-out input (e.g. the scaling bench's
+      64-partition materialized table) is never repartitioned — the
+      spread may only ADD effective parallelism, never reshape a healthy
+      layout;
+    * non-file relations (createDataFrame/range) are already evenly
+      sliced across cores — never spread.
+    """
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    return parallelism * 64 * 1024 <= size < parallelism * 64 * 1024 * 1024
+    if not (parallelism * 64 * 1024 <= size < parallelism * 64 * 1024 * 1024):
+        return False
+    files = df.inputFiles()
+    if not files or len(files) >= parallelism:
+        return False
+    try:
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
+        row_groups = 0
+        for f in files:
+            p = urlparse(f)
+            path = unquote(p.path) if p.scheme in ("file", "") else None
+            if path is None:
+                # remote storage: footers not cheaply reachable here;
+                # the size band already says the input is small
+                return True
+            row_groups += pq.ParquetFile(path).num_row_groups
+            if row_groups >= parallelism:
+                return False
+        return row_groups < parallelism
+    except Exception:
+        return True  # unreadable footer (non-parquet): trust the size band
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
